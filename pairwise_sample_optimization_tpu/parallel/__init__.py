@@ -1,0 +1,16 @@
+from .mesh import MeshSpec, make_mesh, data_sharding, replicated_sharding
+from .prng import host_fold, per_device_keys, split_for_steps
+from .collectives import pmean_tree, all_gather_batch, padded_gather
+
+__all__ = [
+    "MeshSpec",
+    "make_mesh",
+    "data_sharding",
+    "replicated_sharding",
+    "host_fold",
+    "per_device_keys",
+    "split_for_steps",
+    "pmean_tree",
+    "all_gather_batch",
+    "padded_gather",
+]
