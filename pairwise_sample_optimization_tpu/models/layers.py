@@ -1,0 +1,342 @@
+"""Shared Flax building blocks for the SDXL UNet / VAE / CLIP towers.
+
+TPU-first conventions:
+- NHWC activations everywhere (TPU conv layout), bf16 compute / fp32 params;
+- attention dispatches through ``ops.attention`` (XLA fused now, Pallas
+  flash-attention hook);
+- GroupNorm(+SiLU) dispatches through ``ops.group_norm`` (Pallas hook);
+- LoRA lives in a separate ``'lora'`` variable collection on the attention
+  q/k/v/out projections (target-module parity with reference
+  ``train_online_pso_sdxl_turbo.py:338-343``). The frozen "reference model"
+  of DPO is the same apply with ``lora_scale=0`` — the functional
+  equivalent of peft ``disable_adapters()`` with zero extra HBM.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.attention import dot_product_attention
+from ..ops.group_norm import group_norm
+
+Dtype = jnp.dtype
+
+
+class LoRADense(nn.Module):
+    """Dense layer with an optional low-rank adapter in the 'lora' collection.
+
+    y = x W + b + lora_scale * (alpha / r) * (x A) B
+
+    A is gaussian-initialized, B zero-initialized (adapter starts as a
+    no-op), matching peft's ``init_lora_weights='gaussian'``.
+    """
+
+    features: int
+    use_bias: bool = True
+    lora_rank: int = 0
+    lora_alpha: Optional[int] = None  # defaults to rank (ref: alpha == rank)
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, lora_scale: jnp.ndarray | float = 1.0):
+        in_features = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (in_features, self.features),
+            self.param_dtype,
+        )
+        x = x.astype(self.dtype)
+        y = x @ kernel.astype(self.dtype)
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros_init(), (self.features,), self.param_dtype
+            )
+            y = y + bias.astype(self.dtype)
+
+        if self.lora_rank > 0:
+            r = self.lora_rank
+            alpha = self.lora_alpha if self.lora_alpha is not None else r
+            a_init = nn.initializers.normal(stddev=1.0 / r)
+            rng = self.make_rng("params") if self.is_initializing() else None
+            a = self.variable(
+                "lora", "a", lambda: a_init(rng, (in_features, r), self.param_dtype)
+            ).value
+            b = self.variable(
+                "lora", "b", lambda: jnp.zeros((r, self.features), self.param_dtype)
+            ).value
+            scaling = alpha / r
+            delta = (x @ a.astype(self.dtype)) @ b.astype(self.dtype)
+            y = y + delta * (jnp.asarray(lora_scale, self.dtype) * scaling)
+        return y
+
+
+def timestep_embedding(
+    timesteps: jnp.ndarray,
+    dim: int,
+    flip_sin_to_cos: bool = True,
+    downscale_freq_shift: float = 0.0,
+    max_period: float = 10000.0,
+) -> jnp.ndarray:
+    """Sinusoidal embeddings, diffusers convention (B,) -> (B, dim)."""
+    half = dim // 2
+    exponent = -math.log(max_period) * jnp.arange(half, dtype=jnp.float32)
+    exponent = exponent / (half - downscale_freq_shift)
+    freqs = jnp.exp(exponent)
+    args = timesteps.astype(jnp.float32)[:, None] * freqs[None, :]
+    sin, cos = jnp.sin(args), jnp.cos(args)
+    emb = jnp.concatenate([cos, sin] if flip_sin_to_cos else [sin, cos], axis=-1)
+    if dim % 2 == 1:
+        emb = jnp.pad(emb, ((0, 0), (0, 1)))
+    return emb
+
+
+class TimestepEmbedMLP(nn.Module):
+    """Two-layer SiLU MLP lifting sinusoidal embeddings to the time channel."""
+
+    out_dim: int
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.out_dim, dtype=self.dtype, param_dtype=self.param_dtype, name="linear_1")(x)
+        x = nn.silu(x)
+        x = nn.Dense(self.out_dim, dtype=self.dtype, param_dtype=self.param_dtype, name="linear_2")(x)
+        return x
+
+
+class GroupNorm(nn.Module):
+    """Parameterized group norm dispatching through ops.group_norm."""
+
+    num_groups: int = 32
+    eps: float = 1e-5
+    act: Optional[str] = None  # 'silu' fuses the activation
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones_init(), (c,), self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros_init(), (c,), self.param_dtype)
+        return group_norm(x, scale, bias, self.num_groups, self.eps, act=self.act)
+
+
+class Attention(nn.Module):
+    """Self/cross attention with LoRA-able q/k/v/out projections.
+
+    Input (B, S, C); optional context (B, S_kv, C_ctx) for cross attention.
+    """
+
+    heads: int
+    head_dim: int
+    out_features: Optional[int] = None
+    lora_rank: int = 0
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context=None, lora_scale=1.0):
+        inner = self.heads * self.head_dim
+        out_features = self.out_features or x.shape[-1]
+        kv = x if context is None else context
+        dense = lambda name, use_bias=False: LoRADense(
+            inner,
+            use_bias=use_bias,
+            lora_rank=self.lora_rank,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name=name,
+        )
+        q = dense("to_q")(x, lora_scale)
+        k = dense("to_k")(kv, lora_scale)
+        v = dense("to_v")(kv, lora_scale)
+
+        b, sq = q.shape[0], q.shape[1]
+        sk = k.shape[1]
+        q = q.reshape(b, sq, self.heads, self.head_dim)
+        k = k.reshape(b, sk, self.heads, self.head_dim)
+        v = v.reshape(b, sk, self.heads, self.head_dim)
+        o = dot_product_attention(q, k, v)
+        o = o.reshape(b, sq, inner)
+        return LoRADense(
+            out_features,
+            use_bias=True,
+            lora_rank=self.lora_rank,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="to_out",
+        )(o, lora_scale)
+
+
+class GEGLUFeedForward(nn.Module):
+    """LayerNorm'd transformer FF with GEGLU gate (diffusers convention)."""
+
+    dim: int
+    mult: int = 4
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        inner = self.dim * self.mult
+        proj = nn.Dense(
+            inner * 2, dtype=self.dtype, param_dtype=self.param_dtype, name="proj_in"
+        )(x)
+        hidden, gate = jnp.split(proj, 2, axis=-1)
+        x = hidden * nn.gelu(gate)
+        return nn.Dense(
+            self.dim, dtype=self.dtype, param_dtype=self.param_dtype, name="proj_out"
+        )(x)
+
+
+class BasicTransformerBlock(nn.Module):
+    """Pre-LN self-attn -> cross-attn -> GEGLU FF block of the SDXL UNet."""
+
+    dim: int
+    heads: int
+    head_dim: int
+    lora_rank: int = 0
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context, lora_scale=1.0):
+        ln = lambda name: nn.LayerNorm(
+            dtype=self.dtype, param_dtype=self.param_dtype, name=name
+        )
+        attn = lambda name: Attention(
+            heads=self.heads,
+            head_dim=self.head_dim,
+            lora_rank=self.lora_rank,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name=name,
+        )
+        x = x + attn("attn1")(ln("norm1")(x), lora_scale=lora_scale)
+        x = x + attn("attn2")(ln("norm2")(x), context=context, lora_scale=lora_scale)
+        x = x + GEGLUFeedForward(
+            self.dim, dtype=self.dtype, param_dtype=self.param_dtype, name="ff"
+        )(ln("norm3")(x))
+        return x
+
+
+class SpatialTransformer(nn.Module):
+    """GroupNorm -> linear proj -> N transformer blocks -> linear proj, residual.
+
+    SDXL uses linear (not 1x1-conv) projections (use_linear_projection=True).
+    """
+
+    depth: int
+    heads: int
+    head_dim: int
+    lora_rank: int = 0
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context, lora_scale=1.0):
+        b, h, w, c = x.shape
+        residual = x
+        x = GroupNorm(32, eps=1e-6, param_dtype=self.param_dtype, name="norm")(x)
+        x = x.reshape(b, h * w, c)
+        x = nn.Dense(c, dtype=self.dtype, param_dtype=self.param_dtype, name="proj_in")(x)
+        for i in range(self.depth):
+            x = BasicTransformerBlock(
+                dim=c,
+                heads=self.heads,
+                head_dim=self.head_dim,
+                lora_rank=self.lora_rank,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                name=f"block_{i}",
+            )(x, context, lora_scale)
+        x = nn.Dense(c, dtype=self.dtype, param_dtype=self.param_dtype, name="proj_out")(x)
+        return x.reshape(b, h, w, c) + residual
+
+
+class ResnetBlock(nn.Module):
+    """GN+SiLU -> conv -> (+time) -> GN+SiLU -> conv, with 1x1 skip."""
+
+    out_channels: int
+    use_time_emb: bool = True
+    groups: int = 32
+    eps: float = 1e-5
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, temb=None):
+        in_channels = x.shape[-1]
+        conv = lambda name: nn.Conv(
+            self.out_channels,
+            (3, 3),
+            padding=((1, 1), (1, 1)),
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name=name,
+        )
+        h = GroupNorm(self.groups, eps=self.eps, act="silu", param_dtype=self.param_dtype, name="norm1")(x)
+        h = conv("conv1")(h)
+        if self.use_time_emb and temb is not None:
+            t = nn.Dense(
+                self.out_channels,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                name="time_emb_proj",
+            )(nn.silu(temb))
+            h = h + t[:, None, None, :]
+        h = GroupNorm(self.groups, eps=self.eps, act="silu", param_dtype=self.param_dtype, name="norm2")(h)
+        h = conv("conv2")(h)
+        if in_channels != self.out_channels:
+            x = nn.Conv(
+                self.out_channels,
+                (1, 1),
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                name="conv_shortcut",
+            )(x)
+        return x + h
+
+
+class Downsample(nn.Module):
+    channels: int
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Conv(
+            self.channels,
+            (3, 3),
+            strides=(2, 2),
+            padding=((1, 1), (1, 1)),
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="conv",
+        )(x)
+
+
+class Upsample(nn.Module):
+    channels: int
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
+        return nn.Conv(
+            self.channels,
+            (3, 3),
+            padding=((1, 1), (1, 1)),
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="conv",
+        )(x)

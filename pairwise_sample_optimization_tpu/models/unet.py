@@ -1,0 +1,182 @@
+"""SDXL UNet2DCondition in Flax (NHWC, bf16, LoRA-aware attention).
+
+Config-driven re-implementation of the denoiser used by both SDXL-Turbo and
+SDXL-DMD2 in the reference (loaded via
+``UNet2DConditionModel.from_pretrained``, reference
+``train_online_pso_sdxl_turbo.py:290-294`` / DMD2 state-dict load
+``train_online_pso_sdxl_dmd2.py:311-317``). Structure:
+
+conv_in -> [DownBlock, CrossAttnDown(d=2), CrossAttnDown(d=10)]
+        -> Mid(CrossAttn, d=10)
+        -> [CrossAttnUp(d=10), CrossAttnUp(d=2), UpBlock]  -> conv_out
+
+with SDXL "text_time" micro-conditioning: pooled text embed (1280) +
+six sinusoidally-embedded add_time_ids (6 x 256) joined into a 2816-dim
+vector, MLP'd and added to the timestep embedding.
+
+``lora_scale`` threads to every attention q/k/v/out projection; the DPO
+reference model is ``lora_scale=0`` on the same parameters.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from .layers import (
+    Downsample,
+    GroupNorm,
+    ResnetBlock,
+    SpatialTransformer,
+    TimestepEmbedMLP,
+    Upsample,
+    timestep_embedding,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class UNetConfig:
+    in_channels: int = 4
+    out_channels: int = 4
+    block_out_channels: Tuple[int, ...] = (320, 640, 1280)
+    # attention depth per level; 0 = plain (no-attention) block
+    transformer_layers: Tuple[int, ...] = (0, 2, 10)
+    layers_per_block: int = 2
+    head_dim: int = 64
+    cross_attention_dim: int = 2048
+    addition_time_embed_dim: int = 256
+    # pooled text-embedding width feeding the text_time embedding
+    pooled_embed_dim: int = 1280
+    num_time_ids: int = 6
+    norm_groups: int = 32
+    lora_rank: int = 0
+    dtype: jnp.dtype = jnp.bfloat16
+    param_dtype: jnp.dtype = jnp.float32
+
+    @property
+    def time_embed_dim(self) -> int:
+        return self.block_out_channels[0] * 4
+
+    @property
+    def add_embed_input_dim(self) -> int:
+        return self.pooled_embed_dim + self.num_time_ids * self.addition_time_embed_dim
+
+    @staticmethod
+    def sdxl(lora_rank: int = 0, dtype=jnp.bfloat16) -> "UNetConfig":
+        """Full SDXL (Turbo / DMD2 share this architecture; 2.6B params)."""
+        return UNetConfig(lora_rank=lora_rank, dtype=dtype)
+
+    @staticmethod
+    def tiny(lora_rank: int = 0, dtype=jnp.float32) -> "UNetConfig":
+        """2-level toy config for CPU tests of the full training loop."""
+        return UNetConfig(
+            block_out_channels=(32, 64),
+            transformer_layers=(0, 1),
+            layers_per_block=1,
+            head_dim=8,
+            cross_attention_dim=32,
+            addition_time_embed_dim=8,
+            pooled_embed_dim=16,
+            norm_groups=8,
+            lora_rank=lora_rank,
+            dtype=dtype,
+        )
+
+
+class SDXLUNet(nn.Module):
+    config: UNetConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        sample: jnp.ndarray,  # (B, H, W, C) latents (already input-scaled)
+        timesteps: jnp.ndarray,  # (B,) int/float
+        encoder_hidden_states: jnp.ndarray,  # (B, 77*?, cross_attention_dim)
+        pooled_text_embeds: jnp.ndarray,  # (B, pooled_embed_dim)
+        add_time_ids: jnp.ndarray,  # (B, num_time_ids)
+        lora_scale: jnp.ndarray | float = 1.0,
+    ) -> jnp.ndarray:
+        cfg = self.config
+        dt, pdt = cfg.dtype, cfg.param_dtype
+        n_levels = len(cfg.block_out_channels)
+
+        # --- time + micro-conditioning embeddings ---
+        t_emb = timestep_embedding(timesteps, cfg.block_out_channels[0])
+        temb = TimestepEmbedMLP(cfg.time_embed_dim, dtype=dt, param_dtype=pdt, name="time_embedding")(
+            t_emb.astype(dt)
+        )
+        ids_emb = timestep_embedding(
+            add_time_ids.reshape(-1), cfg.addition_time_embed_dim
+        ).reshape(add_time_ids.shape[0], -1)
+        add_embeds = jnp.concatenate(
+            [pooled_text_embeds.astype(jnp.float32), ids_emb], axis=-1
+        )
+        temb = temb + TimestepEmbedMLP(
+            cfg.time_embed_dim, dtype=dt, param_dtype=pdt, name="add_embedding"
+        )(add_embeds.astype(dt))
+
+        context = encoder_hidden_states.astype(dt)
+        resnet = lambda ch, name: ResnetBlock(
+            ch, groups=cfg.norm_groups, dtype=dt, param_dtype=pdt, name=name
+        )
+        transformer = lambda depth, ch, name: SpatialTransformer(
+            depth=depth,
+            heads=ch // cfg.head_dim,
+            head_dim=cfg.head_dim,
+            lora_rank=cfg.lora_rank,
+            dtype=dt,
+            param_dtype=pdt,
+            name=name,
+        )
+
+        # --- down ---
+        h = nn.Conv(
+            cfg.block_out_channels[0], (3, 3), padding=((1, 1), (1, 1)),
+            dtype=dt, param_dtype=pdt, name="conv_in",
+        )(sample.astype(dt))
+        skips = [h]
+        for level, ch in enumerate(cfg.block_out_channels):
+            depth = cfg.transformer_layers[level]
+            for i in range(cfg.layers_per_block):
+                h = resnet(ch, f"down_{level}_resnet_{i}")(h, temb)
+                if depth:
+                    h = transformer(depth, ch, f"down_{level}_attn_{i}")(
+                        h, context, lora_scale
+                    )
+                skips.append(h)
+            if level < n_levels - 1:
+                h = Downsample(ch, dtype=dt, param_dtype=pdt, name=f"down_{level}_downsample")(h)
+                skips.append(h)
+
+        # --- mid ---
+        mid_ch = cfg.block_out_channels[-1]
+        mid_depth = cfg.transformer_layers[-1]
+        h = resnet(mid_ch, "mid_resnet_0")(h, temb)
+        if mid_depth:
+            h = transformer(mid_depth, mid_ch, "mid_attn")(h, context, lora_scale)
+        h = resnet(mid_ch, "mid_resnet_1")(h, temb)
+
+        # --- up ---
+        for rev, ch in enumerate(reversed(cfg.block_out_channels)):
+            level = n_levels - 1 - rev
+            depth = cfg.transformer_layers[level]
+            for i in range(cfg.layers_per_block + 1):
+                h = jnp.concatenate([h, skips.pop()], axis=-1)
+                h = resnet(ch, f"up_{level}_resnet_{i}")(h, temb)
+                if depth:
+                    h = transformer(depth, ch, f"up_{level}_attn_{i}")(
+                        h, context, lora_scale
+                    )
+            if level > 0:
+                h = Upsample(ch, dtype=dt, param_dtype=pdt, name=f"up_{level}_upsample")(h)
+
+        # --- out ---
+        h = GroupNorm(cfg.norm_groups, act="silu", param_dtype=pdt, name="conv_norm_out")(h)
+        h = nn.Conv(
+            cfg.out_channels, (3, 3), padding=((1, 1), (1, 1)),
+            dtype=dt, param_dtype=pdt, name="conv_out",
+        )(h)
+        return h.astype(jnp.float32)
