@@ -73,7 +73,11 @@ class LoRADense(nn.Module):
             ).value
             scaling = alpha / r
             delta = (x @ a.astype(self.dtype)) @ b.astype(self.dtype)
-            y = y + delta * (jnp.asarray(lora_scale, self.dtype) * scaling)
+            scale = jnp.asarray(lora_scale, self.dtype)
+            if scale.ndim >= 1:
+                # per-sample scale vector (B,) -> broadcast over seq/feature
+                scale = scale.reshape(scale.shape + (1,) * (delta.ndim - scale.ndim))
+            y = y + delta * (scale * scaling)
         return y
 
 

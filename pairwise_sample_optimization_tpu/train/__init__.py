@@ -1,0 +1,23 @@
+from .sampling import sample_turbo_trajectories, sample_dmd_trajectories, Trajectory
+from .losses import (
+    sample_compare,
+    pareto_compare,
+    pso_pairwise_loss,
+    dreambooth_pso_loss,
+)
+from .train_state import PSOTrainState, make_optimizer
+from .online_pso import OnlinePSOConfig, OnlinePSOTrainer
+
+__all__ = [
+    "sample_turbo_trajectories",
+    "sample_dmd_trajectories",
+    "Trajectory",
+    "sample_compare",
+    "pareto_compare",
+    "pso_pairwise_loss",
+    "dreambooth_pso_loss",
+    "PSOTrainState",
+    "make_optimizer",
+    "OnlinePSOConfig",
+    "OnlinePSOTrainer",
+]

@@ -1,0 +1,164 @@
+"""End-to-end online PSO loop on a tiny UNet (CPU).
+
+The strongest correctness anchor: on the very first optimizer update the
+policy and reference model coincide (LoRA b=0), so every recomputed
+probability ratio is exactly 1 and the DPO loss must equal log(2). Any
+mismatch between the sampling-time transitions and the train-time logprob
+recompute (scaling, indexing, shuffling) breaks this identity.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pairwise_sample_optimization_tpu.models import SDXLUNet, UNetConfig
+from pairwise_sample_optimization_tpu.train import (
+    OnlinePSOConfig,
+    OnlinePSOTrainer,
+    PSOTrainState,
+    make_optimizer,
+)
+
+B = 4  # sampled prompts per epoch
+
+
+def _make(sampler="turbo", compare="sample"):
+    ucfg = UNetConfig.tiny(lora_rank=2)
+    model = SDXLUNet(ucfg)
+
+    def unet_apply(variables, x, t, cond, lora_scale):
+        return model.apply(
+            variables,
+            x,
+            t,
+            cond["embeds"],
+            cond["pooled"],
+            cond["time_ids"],
+            lora_scale=lora_scale,
+        )
+
+    def decode_fn(z):
+        return jnp.tanh(z[..., :3])
+
+    def reward_fn(images, rc):
+        del rc
+        return jnp.mean(images, axis=(1, 2, 3))
+
+    cfg = OnlinePSOConfig(
+        sampler=sampler,
+        num_steps=4,
+        train_batch_size=2,
+        grad_accum=2,
+        compare=compare,
+        beta=50.0,
+        eps=0.1,
+    )
+    tx = make_optimizer(learning_rate=1e-3)
+    trainer = OnlinePSOTrainer(
+        cfg, unet_apply, tx, decode_fn=decode_fn, reward_fn=reward_fn, latent_hw=8
+    )
+
+    cond = {
+        "embeds": jax.random.normal(jax.random.key(1), (B, 5, ucfg.cross_attention_dim)),
+        "pooled": jax.random.normal(jax.random.key(2), (B, ucfg.pooled_embed_dim)),
+        "time_ids": jnp.tile(jnp.array([[512, 512, 0, 0, 512, 512]]), (B, 1)),
+    }
+    variables = model.init(
+        jax.random.key(0),
+        jnp.zeros((1, 8, 8, 4)),
+        jnp.zeros((1,)),
+        cond["embeds"][:1],
+        cond["pooled"][:1],
+        cond["time_ids"][:1],
+    )
+    return trainer, variables, cond
+
+
+@pytest.mark.parametrize("sampler,compare", [("turbo", "sample"), ("dmd", "pareto")])
+def test_full_epoch(sampler, compare):
+    trainer, variables, cond = _make(sampler, compare)
+    samples, images = trainer.sample_pairs(variables, cond, {}, jax.random.key(10))
+
+    assert samples["latents"].shape == (B, 2, 3, 8, 8, 4)
+    assert samples["next_latents"].shape == (B, 2, 3, 8, 8, 4)
+    assert samples["log_probs"].shape == (B, 2, 3)
+    assert samples["rewards"].shape == (B, 2, 1)
+    assert images.shape == (2 * B, 8, 8, 3)
+    assert np.isfinite(np.asarray(samples["log_probs"])).all()
+    # the two trajectories must differ (independent noise)
+    assert (
+        np.abs(np.asarray(samples["latents"][:, 0]) - np.asarray(samples["latents"][:, 1])).max()
+        > 1e-3
+    )
+
+    state = PSOTrainState.create(variables["lora"], trainer.tx)
+    lora_before = jax.tree.map(np.asarray, state.lora)
+    state, metrics = trainer.train_epoch(
+        state, variables["params"], samples, cond, jax.random.key(11)
+    )
+
+    assert len(metrics) == 1  # B_tot / (train_bs * grad_accum) = 4/4 updates
+    losses = [m["loss"] for m in metrics]
+    assert all(np.isfinite(l) for l in losses)
+
+    # first update: policy == reference -> every ratio 1 -> loss == log 2
+    np.testing.assert_allclose(losses[0], np.log(2.0), rtol=1e-4)
+
+    # lora must have moved (b leaves nonzero after update)
+    moved = [
+        np.abs(a - np.asarray(b)).max()
+        for a, b in zip(jax.tree.leaves(lora_before), jax.tree.leaves(state.lora))
+    ]
+    assert max(moved) > 0
+    assert int(state.step) == len(metrics)
+
+
+def test_second_epoch_off_policy():
+    trainer, variables, cond = _make()
+    samples, _ = trainer.sample_pairs(variables, cond, {}, jax.random.key(20))
+    state = PSOTrainState.create(variables["lora"], trainer.tx)
+    state, m1 = trainer.train_epoch(state, variables["params"], samples, cond, jax.random.key(21))
+    # re-train on the SAME samples with the moved lora: ratios != 1 now
+    state, m2 = trainer.train_epoch(state, variables["params"], samples, cond, jax.random.key(22))
+    assert abs(m2[0]["loss"] - np.log(2.0)) > 1e-5
+
+
+def test_shuffle_preserves_transition_alignment():
+    """After shuffling, (latents[j], next_latents[j], step_indices[j]) must
+    still be a consistent transition triple — verified via the log-prob
+    identity on the shuffled tensors."""
+    trainer, variables, cond = _make()
+    samples, _ = trainer.sample_pairs(variables, cond, {}, jax.random.key(30))
+    shuffled, cond_sh = trainer.shuffle(samples, cond, jax.random.key(31))
+
+    from pairwise_sample_optimization_tpu.ops.euler_ancestral import turbo_logprob
+
+    def unet_eps(x_in, t, c):
+        return SDXLUNet(UNetConfig.tiny(lora_rank=2)).apply(
+            variables, x_in, t, c["embeds"], c["pooled"], c["time_ids"], lora_scale=1.0
+        )
+
+    for j in range(3):
+        for traj in range(2):
+            eps = unet_eps(
+                shuffled["input_latents"][:, traj, j],
+                shuffled["timesteps"][:, j],
+                cond_sh,
+            )
+            lp = turbo_logprob(
+                trainer.schedule,
+                eps,
+                shuffled["step_indices"][:, j],
+                shuffled["latents"][:, traj, j],
+                shuffled["next_latents"][:, traj, j],
+            )
+            # rtol covers fp32 reduction-order noise (test recomputes with
+            # batch B where sampling ran 2B); misalignment would be off by
+            # orders of magnitude
+            np.testing.assert_allclose(
+                np.asarray(lp),
+                np.asarray(shuffled["log_probs"][:, traj, j]),
+                rtol=2e-3,
+                atol=2e-3,
+            )
