@@ -1,0 +1,102 @@
+"""Prompt dataset + batched loader.
+
+Rebuild of reference ``pso_pytorch/prompt_dataset.py`` (4k PickaPic
+training prompts, dual-tokenizer collate) without torch DataLoader
+machinery: prompt batching is trivially CPU-bound, so a numpy-RNG
+shuffled iterator that emits already-tokenized device-ready batches is
+all the "data loader" this workload needs.
+
+The prompt list is data: pass ``json_path`` to any JSON list of
+``{caption: str, ...}`` records (the reference asset
+``4k_training_prompts.json`` works as-is). A small built-in prompt set
+keeps tests and benches self-contained.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Iterator, Optional, Sequence
+
+import numpy as np
+
+# self-contained fallback prompts (benches/tests without external assets)
+_BUILTIN_PROMPTS = [
+    "a photo of a corgi wearing sunglasses on a beach",
+    "an oil painting of a lighthouse in a storm",
+    "a futuristic city skyline at sunset, digital art",
+    "a macro photograph of a dew-covered spider web",
+    "a watercolor sketch of a red fox in the snow",
+    "an astronaut riding a horse in photorealistic style",
+    "a bowl of ramen with chopsticks, studio lighting",
+    "a medieval castle on a cliff above the ocean",
+    "a robot playing chess in a dimly lit room",
+    "a field of sunflowers under a thunderstorm",
+    "a portrait of an old sailor with a pipe, rembrandt lighting",
+    "a glass terrarium containing a tiny rainforest",
+    "a steam locomotive crossing a stone viaduct",
+    "a neon-lit alley in tokyo at night in the rain",
+    "a stack of pancakes with maple syrup and berries",
+    "a hot air balloon festival over mountain valleys",
+]
+
+
+class PromptDataset:
+    def __init__(self, json_path: Optional[str] = None, caption_key: str = "caption"):
+        if json_path and os.path.exists(json_path):
+            with open(json_path) as f:
+                meta = json.load(f)
+            self.prompts = [m[caption_key] for m in meta]
+        else:
+            self.prompts = list(_BUILTIN_PROMPTS)
+
+    def __len__(self):
+        return len(self.prompts)
+
+    def __getitem__(self, idx: int) -> str:
+        return self.prompts[idx]
+
+
+class PromptLoader:
+    """Shuffled epoch iterator emitting tokenized batches.
+
+    Collate parity with ``sdxl_collate_fn``: each batch carries the raw
+    prompts plus max-length-77 ids from both tokenizers (and optionally a
+    reward tokenizer for on-device scoring).
+    """
+
+    def __init__(
+        self,
+        dataset: PromptDataset,
+        batch_size: int,
+        tokenizer_one,
+        tokenizer_two=None,
+        reward_tokenizer=None,
+        seed: int = 0,
+        drop_last: bool = True,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.tok1 = tokenizer_one
+        self.tok2 = tokenizer_two
+        self.tok_r = reward_tokenizer
+        self.rng = np.random.default_rng(seed)
+        self.drop_last = drop_last
+
+    def epoch(self) -> Iterator[dict]:
+        order = self.rng.permutation(len(self.dataset))
+        stop = (
+            len(order) - self.batch_size + 1 if self.drop_last else len(order)
+        )
+        for start in range(0, max(stop, 0), self.batch_size):
+            idx = order[start : start + self.batch_size]
+            prompts = [self.dataset[int(i)] for i in idx]
+            batch = {"prompts": prompts, "input_ids_one": self.tok1(prompts)}
+            if self.tok2 is not None:
+                batch["input_ids_two"] = self.tok2(prompts)
+            if self.tok_r is not None:
+                batch["reward_input_ids"] = self.tok_r(prompts)
+            yield batch
+
+    def __iter__(self):
+        return self.epoch()

@@ -1,0 +1,171 @@
+"""CLIP byte-level BPE tokenizer (from-scratch implementation).
+
+Replaces the HF ``AutoTokenizer``s of the reference trainers and the
+vendored open_clip ``SimpleTokenizer`` with one implementation serving
+every CLIP in the system (SDXL TE1/TE2, PickScore, CLIP score, HPSv2 —
+they all share the 49152-merge CLIP vocabulary).
+
+The merge table is *data*, not code: pass ``bpe_path`` to any gzip'd
+merge list in the standard CLIP format (first line is a version header;
+merges 1..49152 used). Padding differs per consumer and is an argument:
+SDXL tokenizer_1 / HF CLIP pad with <|endoftext|> (49407), SDXL
+tokenizer_2 and open_clip pad with 0. Under causal masking and
+argmax-EOS pooling both conventions give identical pooled features; pad
+choice only affects hidden states at pad positions (which SDXL feeds to
+cross-attention, hence the per-encoder defaults).
+
+No ftfy dependency: text cleaning is html-unescape + whitespace collapse,
+sufficient for the ascii-clean prompt sets this framework ships with.
+"""
+
+from __future__ import annotations
+
+import functools
+import gzip
+import html
+import os
+from typing import Iterable, List, Sequence
+
+import numpy as np
+import regex as re
+
+DEFAULT_BPE_PATH = os.environ.get("PSO_BPE_PATH", "")
+
+_TOKEN_PATTERN = re.compile(
+    r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+""",
+    re.IGNORECASE,
+)
+
+
+@functools.lru_cache()
+def bytes_to_unicode():
+    """Reversible byte -> printable-unicode map (standard GPT-2/CLIP table)."""
+    bs = (
+        list(range(ord("!"), ord("~") + 1))
+        + list(range(ord("\xa1"), ord("\xac") + 1))
+        + list(range(ord("\xae"), ord("\xff") + 1))
+    )
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return dict(zip(bs, (chr(c) for c in cs)))
+
+
+def _get_pairs(word: tuple) -> set:
+    return set(zip(word[:-1], word[1:]))
+
+
+def _clean(text: str) -> str:
+    text = html.unescape(html.unescape(text))
+    return " ".join(text.split()).strip().lower()
+
+
+class CLIPTokenizer:
+    def __init__(
+        self,
+        bpe_path: str = DEFAULT_BPE_PATH,
+        context_length: int = 77,
+        pad_token_id: int | None = None,  # None -> eot (HF convention)
+        merges: Sequence[str] | None = None,
+    ):
+        if merges is None:
+            if not bpe_path or not os.path.exists(bpe_path):
+                raise FileNotFoundError(
+                    "CLIP BPE merge file not found; pass bpe_path= or set "
+                    f"PSO_BPE_PATH (got {bpe_path!r})"
+                )
+            opener = gzip.open if bpe_path.endswith(".gz") else open
+            with opener(bpe_path, "rb") as f:
+                lines = f.read().decode("utf-8").split("\n")
+            merges = lines[1 : 49152 - 256 - 2 + 1]
+        merges = [tuple(m.split()) for m in merges if m]
+
+        self.byte_encoder = bytes_to_unicode()
+        vocab = list(self.byte_encoder.values())
+        vocab = vocab + [v + "</w>" for v in vocab]
+        for m in merges:
+            vocab.append("".join(m))
+        self.sot_text = "<|startoftext|>"
+        self.eot_text = "<|endoftext|>"
+        vocab.extend([self.sot_text, self.eot_text])
+        self.encoder = {tok: i for i, tok in enumerate(vocab)}
+        self.decoder = {i: tok for tok, i in self.encoder.items()}
+        self.bpe_ranks = {m: i for i, m in enumerate(merges)}
+        self.cache = {
+            self.sot_text: self.sot_text,
+            self.eot_text: self.eot_text,
+        }
+        self.context_length = context_length
+        self.sot = self.encoder[self.sot_text]
+        self.eot = self.encoder[self.eot_text]
+        self.pad_token_id = self.eot if pad_token_id is None else pad_token_id
+        self.vocab_size = len(self.encoder)
+
+    # ------------------------------------------------------------------ #
+
+    def _bpe(self, token: str) -> str:
+        if token in self.cache:
+            return self.cache[token]
+        word = tuple(token[:-1]) + (token[-1] + "</w>",)
+        pairs = _get_pairs(word)
+        if not pairs:
+            return token + "</w>"
+        while True:
+            bigram = min(pairs, key=lambda p: self.bpe_ranks.get(p, float("inf")))
+            if bigram not in self.bpe_ranks:
+                break
+            first, second = bigram
+            new_word: List[str] = []
+            i = 0
+            while i < len(word):
+                try:
+                    j = word.index(first, i)
+                except ValueError:
+                    new_word.extend(word[i:])
+                    break
+                new_word.extend(word[i:j])
+                i = j
+                if i < len(word) - 1 and word[i] == first and word[i + 1] == second:
+                    new_word.append(first + second)
+                    i += 2
+                else:
+                    new_word.append(word[i])
+                    i += 1
+            word = tuple(new_word)
+            if len(word) == 1:
+                break
+            pairs = _get_pairs(word)
+        out = " ".join(word)
+        self.cache[token] = out
+        return out
+
+    def encode(self, text: str) -> List[int]:
+        """Raw BPE ids without special tokens or padding."""
+        ids: List[int] = []
+        for token in _TOKEN_PATTERN.findall(_clean(text)):
+            token_bytes = "".join(self.byte_encoder[b] for b in token.encode("utf-8"))
+            ids.extend(self.encoder[t] for t in self._bpe(token_bytes).split(" "))
+        return ids
+
+    def decode(self, ids: Iterable[int]) -> str:
+        toks = [self.decoder.get(int(i), "") for i in ids]
+        text = "".join(t for t in toks if t not in (self.sot_text, self.eot_text))
+        byte_decoder = {v: k for k, v in self.byte_encoder.items()}
+        raw = bytearray(byte_decoder[c] for c in text if c in byte_decoder)
+        return raw.decode("utf-8", errors="replace").replace("</w>", " ").strip()
+
+    def __call__(self, texts: str | Sequence[str]) -> np.ndarray:
+        """Tokenize to (B, context_length) int32 with SOT/EOT + padding,
+        truncating long prompts so EOT is always present (HF/open_clip
+        behavior)."""
+        if isinstance(texts, str):
+            texts = [texts]
+        out = np.full((len(texts), self.context_length), self.pad_token_id, np.int32)
+        for i, text in enumerate(texts):
+            ids = [self.sot] + self.encode(text)[: self.context_length - 2] + [self.eot]
+            out[i, : len(ids)] = ids
+        return out

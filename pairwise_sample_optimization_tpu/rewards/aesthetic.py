@@ -1,0 +1,62 @@
+"""LAION aesthetic predictor: CLIP-L image embedding -> 5-layer MLP.
+
+Rebuild of reference ``pso_pytorch/aesthetic_scorer.py`` (MLP
+768 -> 1024 -> 128 -> 64 -> 16 -> 1 over the L2-normalized CLIP-L image
+features; weights ``sac+logos+ava1-l14-linearMSE.pth``). Dropout layers
+are inference no-ops and are omitted.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..models.clip import CLIPVisionConfig, CLIPVisionTower
+from .preprocess import clip_preprocess
+
+
+class AestheticMLP(nn.Module):
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        for i, feat in enumerate((1024, 128, 64, 16, 1)):
+            x = nn.Dense(feat, dtype=self.dtype, name=f"fc{i}")(x)
+        return x[..., 0]
+
+
+class AestheticScorer:
+    def __init__(
+        self,
+        vision_variables=None,
+        mlp_variables=None,
+        vision_config: Optional[CLIPVisionConfig] = None,
+        key: Optional[jax.Array] = None,
+    ):
+        self.vision_config = vision_config or CLIPVisionConfig.vit_l14()
+        self.vision = CLIPVisionTower(self.vision_config)
+        self.mlp = AestheticMLP()
+        key = key if key is not None else jax.random.key(0)
+        size = self.vision_config.image_size
+        if vision_variables is None:
+            vision_variables = self.vision.init(key, jnp.zeros((1, size, size, 3)))
+        if mlp_variables is None:
+            mlp_variables = self.mlp.init(
+                key, jnp.zeros((1, self.vision_config.projection_dim))
+            )
+        self.vision_variables = vision_variables
+        self.mlp_variables = mlp_variables
+        self._score = jax.jit(self._score_impl)
+
+    def _score_impl(self, images):
+        pixels = clip_preprocess(images, self.vision_config.image_size)
+        embed = self.vision.apply(self.vision_variables, pixels)
+        embed = embed / jnp.linalg.norm(embed, axis=-1, keepdims=True)
+        return self.mlp.apply(self.mlp_variables, embed)
+
+    def score(self, images):
+        """images (B, H, W, 3) in [-1, 1] -> aesthetic score (B,)."""
+        return self._score(images)

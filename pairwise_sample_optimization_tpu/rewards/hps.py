@@ -1,0 +1,18 @@
+"""HPSv2 scorer: CLIP-H architecture with the HPS_v2 preference checkpoint.
+
+The reference's ``pso_pytorch/hps_utils.py`` is broken in-tree (dead
+import of a nonexistent ``tokenizer_hps`` module and a hardcoded
+``root_path``) and unused by the trainers; the working semantics are the
+same dual-encoder cosine score as CLIP score with the HPS_v2 weights
+(``HPS_v2_compressed.pt``). Provide the checkpoint via
+``checkpoints.convert`` and this scorer is functional — no auto-download
+(this framework does no network I/O at runtime).
+"""
+
+from __future__ import annotations
+
+from .pickscore import PickScoreScorer
+
+
+class HPSScorer(PickScoreScorer):
+    """CLIP-H cosine scorer under the HPSv2 weight set."""

@@ -1,0 +1,83 @@
+"""PickScore reward: CLIP-H dual encoder, cosine score (primary training reward).
+
+Rebuild of the reference ``pso_pytorch/pickscore_utils.py`` Selector
+(HF ``yuvalkirstain/PickScore_v1`` on a ``laion/CLIP-ViT-H-14`` backbone):
+score = diag(norm(text) @ norm(image)^T), optional softmax path. The
+whole scorer is one jitted program over on-device images — the reference's
+uint8/PIL/processor host round-trip is gone.
+
+Weights: port the torch checkpoint with ``checkpoints.convert`` when
+available; random init otherwise (throughput benches, tests).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..models.clip import CLIPDualEncoder, CLIPTextConfig, CLIPVisionConfig
+from .preprocess import clip_preprocess
+
+
+class PickScoreScorer:
+    def __init__(
+        self,
+        variables=None,
+        text_config: Optional[CLIPTextConfig] = None,
+        vision_config: Optional[CLIPVisionConfig] = None,
+        key: Optional[jax.Array] = None,
+    ):
+        self.text_config = text_config or CLIPTextConfig.vit_h14()
+        self.vision_config = vision_config or CLIPVisionConfig.vit_h14()
+        self.model = CLIPDualEncoder(self.text_config, self.vision_config)
+        if variables is None:
+            key = key if key is not None else jax.random.key(0)
+            size = self.vision_config.image_size
+            variables = self.model.init(
+                key,
+                jnp.zeros((1, size, size, 3)),
+                jnp.zeros((1, 2), jnp.int32),
+            )
+        self.variables = variables
+        self._score = jax.jit(self._score_impl, static_argnames=("softmax",))
+        self._text_features = jax.jit(self._text_features_impl)
+        self._image_features = jax.jit(self._image_features_impl)
+
+    # --- feature paths (text features are prompt-static; cache per batch) ---
+
+    def _text_features_impl(self, input_ids):
+        t = self.model.apply(self.variables, input_ids, method=self.model.text_features)
+        return t / jnp.linalg.norm(t, axis=-1, keepdims=True)
+
+    def _image_features_impl(self, images):
+        pixels = clip_preprocess(images, self.vision_config.image_size)
+        f = self.model.apply(self.variables, pixels, method=self.model.image_features)
+        return f / jnp.linalg.norm(f, axis=-1, keepdims=True)
+
+    def text_features(self, input_ids):
+        return self._text_features(input_ids)
+
+    def image_features(self, images):
+        return self._image_features(images)
+
+    # --- scoring ---
+
+    def _score_impl(self, images, input_ids, softmax: bool = False):
+        img = self._image_features_impl(images)
+        txt = self._text_features_impl(input_ids)
+        scores = jnp.sum(txt * img, axis=-1)  # diag(text @ image^T)
+        if softmax:
+            logit_scale = jnp.exp(self.variables["params"]["logit_scale"])
+            return jax.nn.softmax(logit_scale * scores, axis=-1)
+        return scores
+
+    def score(self, images, input_ids, softmax: bool = False):
+        """images: (B, H, W, 3) in [-1, 1]; input_ids: (B, 77). -> (B,)"""
+        return self._score(images, input_ids, softmax=softmax)
+
+    def score_with_text_features(self, images, text_features):
+        """Hot-loop variant: text features precomputed once per prompt batch."""
+        img = self._image_features(images)
+        return jnp.sum(text_features * img, axis=-1)

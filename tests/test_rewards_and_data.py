@@ -1,0 +1,203 @@
+"""Reward scorers, preprocessing, tokenizer, prompt data tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pairwise_sample_optimization_tpu.data import (
+    CLIPTokenizer,
+    PerPromptStatTracker,
+    PromptDataset,
+    PromptLoader,
+    get_prompt_fn,
+)
+from pairwise_sample_optimization_tpu.models.clip import (
+    CLIPTextConfig,
+    CLIPVisionConfig,
+)
+from pairwise_sample_optimization_tpu.rewards import (
+    AestheticScorer,
+    PickScoreScorer,
+    clip_preprocess,
+    get_reward_fn,
+)
+
+
+class TestPreprocess:
+    def test_range_and_shape(self):
+        imgs = jnp.zeros((2, 32, 32, 3))  # mid-gray in [-1,1]
+        out = clip_preprocess(imgs, size=16)
+        assert out.shape == (2, 16, 16, 3)
+        # value 0 -> 0.5 normalized by CLIP mean/std
+        want = (0.5 - np.array([0.48145466, 0.4578275, 0.40821073])) / np.array(
+            [0.26862954, 0.26130258, 0.27577711]
+        )
+        np.testing.assert_allclose(np.asarray(out[0, 0, 0]), want, rtol=1e-5)
+
+    def test_01_range_input(self):
+        imgs = jnp.zeros((1, 8, 8, 3))
+        a = clip_preprocess(imgs, size=8, value_range=(0.0, 1.0))  # black
+        b = clip_preprocess(imgs, size=8, value_range=(-1.0, 1.0))  # mid-gray
+        assert np.abs(np.asarray(a) - np.asarray(b)).max() > 0.1
+
+
+class TestScorers:
+    def test_pickscore_tiny(self):
+        s = PickScoreScorer(
+            text_config=CLIPTextConfig.tiny(), vision_config=CLIPVisionConfig.tiny()
+        )
+        imgs = jax.random.uniform(jax.random.key(0), (3, 28, 28, 3), minval=-1, maxval=1)
+        ids = jnp.array([[1, 999, 0], [3, 999, 0], [5, 999, 0]])
+        scores = s.score(imgs, ids)
+        assert scores.shape == (3,)
+        assert np.all(np.abs(np.asarray(scores)) <= 1.0)  # cosine bound
+
+    def test_precomputed_text_features_match(self):
+        s = PickScoreScorer(
+            text_config=CLIPTextConfig.tiny(), vision_config=CLIPVisionConfig.tiny()
+        )
+        imgs = jax.random.uniform(jax.random.key(1), (2, 28, 28, 3), minval=-1, maxval=1)
+        ids = jnp.array([[1, 999, 0], [3, 999, 0]])
+        direct = s.score(imgs, ids)
+        via_feats = s.score_with_text_features(imgs, s.text_features(ids))
+        np.testing.assert_allclose(np.asarray(direct), np.asarray(via_feats), rtol=1e-5)
+
+    def test_aesthetic_tiny(self):
+        s = AestheticScorer(vision_config=CLIPVisionConfig.tiny())
+        imgs = jax.random.uniform(jax.random.key(2), (2, 28, 28, 3), minval=-1, maxval=1)
+        scores = s.score(imgs)
+        assert scores.shape == (2,)
+        assert np.isfinite(np.asarray(scores)).all()
+
+
+class TestRegistry:
+    def test_light_reward(self):
+        fn = get_reward_fn("light_reward")
+        imgs = jnp.full((2, 4, 4, 3), 0.25)
+        r, meta = fn(imgs)
+        np.testing.assert_allclose(np.asarray(r), [0.25, 0.25], rtol=1e-6)
+
+    def test_jpeg_rewards_inverse(self):
+        inc = get_reward_fn("jpeg_incompressibility")
+        com = get_reward_fn("jpeg_compressibility")
+        imgs = jnp.asarray(np.random.default_rng(0).uniform(-1, 1, (2, 32, 32, 3)))
+        r1, _ = inc(imgs)
+        r2, _ = com(imgs)
+        np.testing.assert_allclose(r1, -r2)
+        assert (r1 > 0).all()
+
+    def test_unknown_raises(self):
+        with pytest.raises(KeyError):
+            get_reward_fn("nope")
+
+
+TINY_MERGES = ["#version: 0.2", "c a", "ca t</w>", "d o", "do g</w>"]
+
+
+class TestTokenizer:
+    def _tok(self, **kw):
+        return CLIPTokenizer(merges=TINY_MERGES[1:], **kw)
+
+    def test_merge_application(self):
+        tok = self._tok()
+        ids = tok.encode("cat")
+        assert len(ids) == 1  # c+a -> ca, ca+t</w> -> cat</w>
+        assert tok.decoder[ids[0]] == "cat</w>"
+
+    def test_roundtrip(self):
+        tok = self._tok()
+        ids = tok.encode("cat dog")
+        assert tok.decode(ids) == "cat dog"
+
+    def test_call_pads_and_wraps(self):
+        tok = self._tok(context_length=8)
+        out = tok(["cat"])
+        assert out.shape == (1, 8)
+        assert out[0, 0] == tok.sot
+        assert out[0, 2] == tok.eot
+        assert (out[0, 3:] == tok.pad_token_id).all()
+        assert tok.pad_token_id == tok.eot  # HF default
+
+    def test_openclip_zero_padding(self):
+        tok = self._tok(context_length=8, pad_token_id=0)
+        out = tok(["cat"])
+        assert (out[0, 3:] == 0).all()
+
+    def test_truncation_keeps_eot(self):
+        tok = self._tok(context_length=4)
+        out = tok(["cat dog cat dog cat dog"])
+        assert out.shape == (1, 4)
+        assert out[0, 0] == tok.sot and out[0, 3] == tok.eot
+
+    def test_unicode_safe(self):
+        tok = self._tok()
+        ids = tok.encode("café über")  # non-ascii goes through bytes
+        assert all(isinstance(i, int) for i in ids)
+
+    def test_golden_real_vocab(self):
+        """Known CLIP ids for a canonical phrase, using any available
+        standard 49152-merge vocab file."""
+        import os
+
+        candidates = [
+            os.environ.get("PSO_BPE_PATH", ""),
+            "/root/reference/human_preference_tuning/pso_pytorch/open_clip/bpe_simple_vocab_16e6.txt.gz",
+        ]
+        path = next((p for p in candidates if p and os.path.exists(p)), None)
+        if path is None:
+            pytest.skip("no standard CLIP BPE vocab available")
+        tok = CLIPTokenizer(bpe_path=path)
+        assert tok.vocab_size == 49408
+        ids = tok("a photo of a cat")[0]
+        assert ids[:7].tolist() == [49406, 320, 1125, 539, 320, 2368, 49407]
+        assert tok.decode(ids) == "a photo of a cat"
+
+
+class TestPromptData:
+    def test_builtin_dataset(self):
+        ds = PromptDataset()
+        assert len(ds) > 0
+        assert isinstance(ds[0], str)
+
+    def test_json_dataset(self, tmp_path):
+        p = tmp_path / "prompts.json"
+        p.write_text('[{"caption": "a"}, {"caption": "b"}]')
+        ds = PromptDataset(str(p))
+        assert len(ds) == 2 and ds[1] == "b"
+
+    def test_loader_batching(self):
+        tok = CLIPTokenizer(merges=TINY_MERGES[1:], context_length=16)
+        ds = PromptDataset()
+        loader = PromptLoader(ds, batch_size=4, tokenizer_one=tok, tokenizer_two=tok)
+        batches = list(loader.epoch())
+        assert len(batches) == len(ds) // 4
+        b = batches[0]
+        assert b["input_ids_one"].shape == (4, 16)
+        assert b["input_ids_two"].shape == (4, 16)
+        assert len(b["prompts"]) == 4
+
+    def test_loader_reshuffles(self):
+        tok = CLIPTokenizer(merges=TINY_MERGES[1:], context_length=16)
+        loader = PromptLoader(PromptDataset(), 4, tok, seed=1)
+        e1 = [b["prompts"] for b in loader.epoch()]
+        e2 = [b["prompts"] for b in loader.epoch()]
+        assert e1 != e2
+
+    def test_prompt_fns(self):
+        p, meta = get_prompt_fn("simple_animals")()
+        assert isinstance(p, str) and meta == {}
+
+
+class TestStatTracker:
+    def test_advantages_normalize(self):
+        t = PerPromptStatTracker(buffer_size=8, min_count=2)
+        prompts = ["a", "a", "b", "b"]
+        r = np.array([1.0, 3.0, 10.0, 30.0])
+        t.update(prompts, r)  # warm the buffers
+        adv = t.update(prompts, r)
+        assert adv.shape == (4,)
+        # per-prompt normalization: each prompt's pair is symmetric
+        np.testing.assert_allclose(adv[0], -adv[1], rtol=1e-5)
+        stats = t.get_stats()
+        assert set(stats) == {"a", "b"}
