@@ -1,0 +1,28 @@
+from .orbax_io import save_train_state, restore_train_state, latest_checkpoint
+from .torch_names import (
+    unet_param_map,
+    vae_param_map,
+    clip_text_param_map,
+    clip_vision_param_map,
+)
+from .convert import (
+    torch_to_flax,
+    flax_to_torch,
+    load_torch_state_dict,
+)
+from .lora_safetensors import export_lora_safetensors, import_lora_safetensors
+
+__all__ = [
+    "save_train_state",
+    "restore_train_state",
+    "latest_checkpoint",
+    "unet_param_map",
+    "vae_param_map",
+    "clip_text_param_map",
+    "clip_vision_param_map",
+    "torch_to_flax",
+    "flax_to_torch",
+    "load_torch_state_dict",
+    "export_lora_safetensors",
+    "import_lora_safetensors",
+]

@@ -1,0 +1,116 @@
+"""One-time torch -> flax weight porting (and the reverse for export).
+
+Loads a diffusers/HF state dict from .safetensors or .bin (torch-CPU) and
+fills a flax params tree using the name maps in ``torch_names``. Verifies
+completeness: every flax leaf must find its torch tensor with matching
+(transformed) shape; unused torch keys are reported.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Read a .safetensors or torch .bin/.pt file into numpy arrays."""
+    if path.endswith(".safetensors"):
+        from safetensors import safe_open
+
+        out = {}
+        with safe_open(path, framework="numpy") as f:
+            for k in f.keys():
+                out[k] = f.get_tensor(k)
+        return out
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    if isinstance(sd, dict) and "state_dict" in sd:
+        sd = sd["state_dict"]
+    return {k: v.float().numpy() if v.dtype == torch.bfloat16 else v.numpy()
+            for k, v in sd.items()}
+
+
+def _to_flax(arr: np.ndarray, kind: str) -> np.ndarray:
+    if kind == "linear":
+        return np.asarray(arr).T
+    if kind == "conv":
+        return np.transpose(np.asarray(arr), (2, 3, 1, 0))
+    return np.asarray(arr)
+
+
+def _to_torch(arr: np.ndarray, kind: str) -> np.ndarray:
+    if kind == "linear":
+        return np.asarray(arr).T
+    if kind == "conv":
+        return np.transpose(np.asarray(arr), (3, 2, 0, 1))
+    return np.asarray(arr)
+
+
+def _resolve_kind(kind: str, flax_leaf) -> str:
+    if kind != "?":
+        return kind
+    return "conv" if np.ndim(flax_leaf) == 4 else "linear"
+
+
+def torch_to_flax(
+    torch_sd: Dict[str, np.ndarray],
+    abstract_params,
+    name_map: Callable[[Tuple[str, ...]], Tuple[str, str]],
+    prefix: str = "",
+    dtype=None,
+    strict: bool = True,
+):
+    """Fill ``abstract_params``-shaped tree from a torch state dict.
+
+    Args:
+      abstract_params: pytree of arrays or ShapeDtypeStructs (eval_shape).
+      name_map: one of ``torch_names.*_param_map`` (partial'd as needed).
+      prefix: torch-key prefix to prepend (e.g. ``""`` for a bare UNet
+        file, ``"text_model."`` handled inside maps already).
+    Returns (params, unused_torch_keys).
+    """
+    used = set()
+
+    def fill(path, leaf):
+        names = tuple(p.key for p in path)
+        key, kind = name_map(names)
+        key = prefix + key
+        if key not in torch_sd:
+            if strict:
+                raise KeyError(f"torch key {key} (for flax {'/'.join(names)}) missing")
+            return jnp.zeros(leaf.shape, leaf.dtype)
+        kind = _resolve_kind(kind, leaf)
+        arr = _to_flax(torch_sd[key], kind)
+        if tuple(arr.shape) != tuple(leaf.shape):
+            raise ValueError(
+                f"shape mismatch for {key}: torch->{arr.shape} vs flax {leaf.shape}"
+            )
+        used.add(key)
+        return jnp.asarray(arr, dtype or leaf.dtype)
+
+    params = jax.tree_util.tree_map_with_path(fill, abstract_params)
+    unused = sorted(set(torch_sd) - used)
+    return params, unused
+
+
+def flax_to_torch(
+    params,
+    name_map: Callable[[Tuple[str, ...]], Tuple[str, str]],
+    prefix: str = "",
+) -> Dict[str, np.ndarray]:
+    """Export a flax params tree to a diffusers/HF-layout state dict."""
+    out: Dict[str, np.ndarray] = {}
+
+    def emit(path, leaf):
+        names = tuple(p.key for p in path)
+        key, kind = name_map(names)
+        kind = _resolve_kind(kind, leaf)
+        out[prefix + key] = _to_torch(np.asarray(leaf), kind)
+        return leaf
+
+    jax.tree_util.tree_map_with_path(emit, params)
+    return out

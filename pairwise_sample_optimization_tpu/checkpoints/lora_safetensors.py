@@ -1,0 +1,88 @@
+"""Diffusers-layout LoRA safetensors interop.
+
+The reference ecosystem exchanges LoRA as ``pytorch_lora_weights.safetensors``
+with keys ``unet.<module>.lora.down.weight`` / ``.lora.up.weight``
+(diffusers conversion of peft's lora_A/lora_B; written by
+``StableDiffusionXLLoraLoaderMixin.save_lora_weights``, reference
+``train_online_pso_sdxl_turbo.py:379``; read back at ``:138`` and
+``evaluate_sdxl_dmd2.py:194`` — including the released ``ZichenMiao/PSO``
+adapters). This module round-trips that format against this framework's
+'lora' collection (leaves ``a`` (in,r) = down^T, ``b`` (r,out) = up^T).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .torch_names import unet_param_map
+
+_PEFT_SUFFIX = {"a": "lora.down.weight", "b": "lora.up.weight"}
+_PEFT_ALT = {"a": "lora_A.weight", "b": "lora_B.weight"}  # raw peft layout
+
+
+def _site_key(path: Tuple[str, ...], n_levels: int) -> str:
+    """flax lora module path (without a/b leaf) -> diffusers module key."""
+    # reuse the unet map by asking for the would-be kernel of this site
+    key, _ = unet_param_map(path + ("kernel",), n_levels)
+    return key[: -len(".weight")]
+
+
+def export_lora_safetensors(
+    lora_tree, path: str | None = None, n_levels: int = 3, prefix: str = "unet."
+) -> Dict[str, np.ndarray]:
+    """'lora' collection -> diffusers-layout dict (optionally written)."""
+    out: Dict[str, np.ndarray] = {}
+
+    def emit(p, leaf):
+        names = tuple(x.key for x in p)
+        site, ab = names[:-1], names[-1]
+        key = prefix + _site_key(site, n_levels) + "." + _PEFT_SUFFIX[ab]
+        out[key] = np.asarray(leaf, np.float32).T  # (in,r)->(r,in), (r,out)->(out,r)
+        return leaf
+
+    jax.tree_util.tree_map_with_path(emit, lora_tree)
+    if path is not None:
+        from safetensors.numpy import save_file
+
+        save_file(out, path)
+    return out
+
+
+def import_lora_safetensors(
+    source, abstract_lora, n_levels: int = 3, prefix: str = "unet."
+):
+    """diffusers-layout file/dict -> 'lora' collection tree.
+
+    Accepts both ``lora.down/up.weight`` (diffusers) and
+    ``lora_A/lora_B.weight`` (raw peft) key styles.
+    """
+    if isinstance(source, str):
+        from safetensors import safe_open
+
+        sd = {}
+        with safe_open(source, framework="numpy") as f:
+            for k in f.keys():
+                sd[k] = f.get_tensor(k)
+    else:
+        sd = dict(source)
+
+    def fill(p, leaf):
+        names = tuple(x.key for x in p)
+        site, ab = names[:-1], names[-1]
+        base = prefix + _site_key(site, n_levels)
+        for suffix_map in (_PEFT_SUFFIX, _PEFT_ALT):
+            key = base + "." + suffix_map[ab]
+            if key in sd:
+                arr = np.asarray(sd[key]).T
+                if tuple(arr.shape) != tuple(leaf.shape):
+                    raise ValueError(
+                        f"lora shape mismatch at {key}: {arr.shape} vs {leaf.shape}"
+                    )
+                return jnp.asarray(arr, leaf.dtype)
+        raise KeyError(f"no lora tensor for {base} ({ab})")
+
+    return jax.tree_util.tree_map_with_path(fill, abstract_lora)
