@@ -1,0 +1,136 @@
+"""Headline benchmark: online-PSO pairs/sec/chip (SDXL-Turbo 1-step class).
+
+BASELINE.json config 1: SDXL-Turbo 1-step txt2img + PickScore pairwise
+ranking over a small PickaPic-style prompt batch — the inference half of
+the online PSO loop, end to end on one chip:
+
+  encode prompts (TE1+TE2) -> sample a PAIR of 1-step trajectories
+  (2B UNet fwd @512^2, bf16) -> VAE decode (2B images) -> PickScore
+  CLIP-H on-device scoring (2B) -> pairwise winner selection
+
+Everything from noise to winner index is ONE jitted program; no host
+round-trips. Weights are architecture-true random (throughput does not
+depend on values).
+
+Baseline: the reference repo publishes no numbers (BASELINE.md); the
+comparison point is an analytic A100 PyTorch fp16 estimate for the same
+composite (UNet fwd ~40 ms + VAE decode ~15 ms + CLIP-H ~7 ms per image
+at 512^2, batched pair) ~= 12 pairs/s/GPU. vs_baseline = value / 12.
+"""
+
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BATCH = 4  # prompt pairs per step (reference sample.batch_size)
+RESOLUTION = 512
+NUM_STEPS = 1
+A100_BASELINE_PAIRS_PER_S = 12.0
+
+
+def main():
+    from pairwise_sample_optimization_tpu.models.clip import (
+        CLIPTextConfig,
+        CLIPVisionConfig,
+    )
+    from pairwise_sample_optimization_tpu.pipeline import SDXLPipeline
+    from pairwise_sample_optimization_tpu.rewards import PickScoreScorer
+    from pairwise_sample_optimization_tpu.train.sampling import (
+        sample_turbo_trajectories,
+    )
+    from pairwise_sample_optimization_tpu.ops.schedules import (
+        make_euler_ancestral_schedule,
+    )
+
+    pipe = SDXLPipeline.random(
+        dtype=jnp.bfloat16,
+        resolution=RESOLUTION,
+        fast_init=True,
+        param_dtype=jnp.bfloat16,  # fp16-class weights, as the reference runs
+    )
+    scorer = PickScoreScorer(
+        text_config=CLIPTextConfig.vit_h14(),
+        vision_config=CLIPVisionConfig.vit_h14(),
+        fast_init=True,
+        param_dtype=jnp.bfloat16,
+    )
+    schedule = make_euler_ancestral_schedule(NUM_STEPS)
+    hw = RESOLUTION // 8
+
+    ids1 = jnp.ones((BATCH, 77), jnp.int32)
+    ids2 = jnp.ones((BATCH, 77), jnp.int32)
+    reward_ids = jnp.ones((BATCH, 77), jnp.int32)
+
+    def program(unet_vars, te1_vars, te2_vars, ids1, ids2, reward_ids, key):
+        from pairwise_sample_optimization_tpu.models.sdxl_text import (
+            compute_time_ids,
+            encode_sdxl_prompt,
+        )
+
+        embeds, pooled = encode_sdxl_prompt(
+            pipe.te1, te1_vars, pipe.te2, te2_vars, ids1, ids2
+        )
+        cond = {
+            "embeds": jnp.concatenate([embeds, embeds], 0),
+            "pooled": jnp.concatenate([pooled, pooled], 0),
+            "time_ids": compute_time_ids(2 * BATCH, RESOLUTION),
+        }
+        k_init, k_step = jax.random.split(key)
+        init = jax.random.normal(k_init, (2 * BATCH, hw, hw, 4), jnp.float32)
+
+        def eps_fn(x, t):
+            return pipe.unet_apply(unet_vars, x, t, cond, 1.0)
+
+        traj = sample_turbo_trajectories(eps_fn, schedule, init, k_step)
+        images = pipe.vae.apply(
+            pipe.vae_variables, traj.final_latents, method=pipe.vae.decode
+        )
+        txt = scorer._text_features_impl(reward_ids)
+        img = scorer._image_features_impl(images)
+        scores = jnp.sum(jnp.concatenate([txt, txt], 0) * img, axis=-1)
+        s0, s1 = jnp.split(scores, 2)
+        winner = (s1 >= s0).astype(jnp.int32)  # ties -> trajectory 1 (ref rule)
+        return winner, scores
+
+    fn = jax.jit(program)
+    args = (
+        pipe.unet_variables,
+        pipe.te1_variables,
+        pipe.te2_variables,
+        ids1,
+        ids2,
+        reward_ids,
+    )
+
+    # compile + warmup
+    winner, _ = fn(*args, jax.random.key(0))
+    jax.block_until_ready(winner)
+
+    iters = 10
+    t0 = time.perf_counter()
+    for i in range(iters):
+        winner, scores = fn(*args, jax.random.key(i + 1))
+    jax.block_until_ready(winner)
+    dt = (time.perf_counter() - t0) / iters
+
+    pairs_per_s = BATCH / dt
+    print(
+        json.dumps(
+            {
+                "metric": "online_pso_pairs_per_sec_per_chip",
+                "value": round(pairs_per_s, 3),
+                "unit": "pairs/s",
+                "vs_baseline": round(pairs_per_s / A100_BASELINE_PAIRS_PER_S, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

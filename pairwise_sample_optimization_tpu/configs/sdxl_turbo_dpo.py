@@ -1,0 +1,90 @@
+"""Online PSO SDXL-Turbo config (knob-set parity with reference
+``config/config_sdxl_turbo_dpo.py`` + TPU-specific additions).
+
+ml_collections ConfigDict with absl config_flags dotted-override
+ergonomics: ``--config=...sdxl_turbo_dpo.py --config.train.beta=25``.
+"""
+
+import ml_collections
+
+
+def get_config():
+    config = ml_collections.ConfigDict()
+
+    # ---- general ----
+    config.run_name = ""
+    config.seed = 0
+    config.logdir = "logging"
+    config.output_dir = "output"
+    config.num_epochs = 10000
+    config.checkpointing_steps = 100
+    config.num_checkpoint_limit = 10
+    # compute dtype for frozen towers; LoRA + optimizer state stay fp32
+    config.mixed_precision = "bf16"  # "bf16" | "no"
+    config.resume_from = ""  # run dir or exact checkpoint-### dir (wired!)
+    config.use_lora = True
+    config.use_wandb = False
+
+    # ---- validation ----
+    config.val_dataset = "pickapic_test_unique"  # name or prompts-json path
+    config.val_split_name = "test_unique"
+    config.val_max_prompts = 500
+    config.validation_steps = 100
+
+    # ---- pretrained ----
+    config.pretrained = pretrained = ml_collections.ConfigDict()
+    # local diffusers-layout checkpoint dir (ported via checkpoints.convert);
+    # empty -> architecture-true random init (smoke/bench runs)
+    pretrained.model_dir = ""
+    pretrained.vae_dir = ""
+    pretrained.pickscore_dir = ""
+    pretrained.bpe_path = ""
+
+    # ---- mesh / parallelism (TPU-native; reference had DDP-only) ----
+    config.mesh = mesh = ml_collections.ConfigDict()
+    mesh.data = -1  # -1: all devices
+    mesh.model = 1
+
+    # ---- sampling ----
+    config.sample = sample = ml_collections.ConfigDict()
+    sample.num_steps = 4
+    sample.eta = 1.0
+    sample.guidance_scale = 0.0
+    sample.batch_size = 4  # per host
+    sample.num_batches_per_epoch = 4
+    sample.resolution = 512
+
+    # ---- training ----
+    config.train = train = ml_collections.ConfigDict()
+    train.lora_rank = 32
+    train.distilled_train_steps = 3  # == sample.num_steps - 1
+    train.batch_size = 4
+    train.learning_rate = 1e-5
+    train.adam_beta1 = 0.9
+    train.adam_beta2 = 0.999
+    train.adam_weight_decay = 1e-6
+    train.adam_epsilon = 1e-8
+    train.gradient_accumulation_steps = 2
+    train.max_grad_norm = 1.0
+    train.num_inner_epochs = 1
+    train.beta = 50.0
+    train.eps = 0.1
+    # bf16 Adam moments ~= the reference's 8-bit Adam memory saving
+    train.optimizer_state_dtype = ""  # "" (fp32) | "bfloat16"
+
+    # ---- kernels ----
+    config.kernels = kernels = ml_collections.ConfigDict()
+    kernels.attention_impl = "xla"  # "xla" | "pallas" | "naive"
+    kernels.fused_groupnorm = False
+
+    # ---- data ----
+    config.prompt_json = ""  # 4k_training_prompts.json-style list
+    config.prompt_fn = "simple_animals"  # legacy registry (unused by default)
+    config.reward_fn = "pick_score"
+
+    # ---- stat tracking (DDPO heritage; off for PSO) ----
+    config.per_prompt_stat_tracking = ppst = ml_collections.ConfigDict()
+    ppst.buffer_size = 16
+    ppst.min_count = 16
+
+    return config

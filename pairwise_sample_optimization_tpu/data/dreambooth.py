@@ -1,0 +1,119 @@
+"""DreamBooth instance-image dataset + negative (loser) image pool.
+
+Rebuild of the reference ``DreamBoothDataset``/``collate_fn``
+(``train_pso_sdxl_turbo_dreambooth.py:828-1047``): loads the subject's
+instance images, resizes/center-crops to the train resolution recording
+SDXL micro-conditioning (original_size, crop_top_left), and batches
+host-side as numpy for device upload. The negative pool holds
+self-generated images from the pretrained model (``negative_sample``,
+``:123-154``) and serves random loser picks per step.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+_IMG_EXTS = (".png", ".jpg", ".jpeg", ".webp", ".bmp")
+
+
+def _load_image(path: str) -> np.ndarray:
+    from PIL import Image
+
+    img = Image.open(path)
+    if img.mode != "RGB":
+        img = img.convert("RGB")
+    return np.asarray(img)
+
+
+def _resize_center_crop(
+    arr: np.ndarray, size: int
+) -> Tuple[np.ndarray, Tuple[int, int], Tuple[int, int]]:
+    """-> (HxWx3 uint8, original_size, crop_top_left); PIL bicubic resize of
+    the short side then center crop (transforms parity)."""
+    from PIL import Image
+
+    h0, w0 = arr.shape[:2]
+    img = Image.fromarray(arr)
+    scale = size / min(h0, w0)
+    nh, nw = round(h0 * scale), round(w0 * scale)
+    img = img.resize((nw, nh), Image.BICUBIC)
+    top = (nh - size) // 2
+    left = (nw - size) // 2
+    img = img.crop((left, top, left + size, top + size))
+    return np.asarray(img), (h0, w0), (top, left)
+
+
+def to_model_range(uint8_images: np.ndarray) -> np.ndarray:
+    """uint8 [0,255] -> float32 [-1,1] (the VAE's input range)."""
+    return uint8_images.astype(np.float32) / 127.5 - 1.0
+
+
+class DreamBoothDataset:
+    def __init__(
+        self,
+        instance_data_dir: str,
+        instance_prompt: str,
+        resolution: int = 512,
+        repeats: int = 1,
+    ):
+        paths = sorted(
+            os.path.join(instance_data_dir, f)
+            for f in os.listdir(instance_data_dir)
+            if f.lower().endswith(_IMG_EXTS)
+        )
+        if not paths:
+            raise FileNotFoundError(f"no images in {instance_data_dir}")
+        self.instance_prompt = instance_prompt
+        self.resolution = resolution
+        self.pixel_values: List[np.ndarray] = []
+        self.original_sizes: List[Tuple[int, int]] = []
+        self.crop_top_lefts: List[Tuple[int, int]] = []
+        for p in paths * repeats:
+            arr, orig, crop = _resize_center_crop(_load_image(p), resolution)
+            self.pixel_values.append(to_model_range(arr))
+            self.original_sizes.append(orig)
+            self.crop_top_lefts.append(crop)
+
+    def __len__(self):
+        return len(self.pixel_values)
+
+    def __getitem__(self, idx: int) -> dict:
+        return {
+            "pixel_values": self.pixel_values[idx],
+            "prompt": self.instance_prompt,
+            "original_size": self.original_sizes[idx],
+            "crop_top_left": self.crop_top_lefts[idx],
+        }
+
+    def batches(self, batch_size: int, seed: int = 0):
+        """Endless shuffled batch iterator (collate_fn parity)."""
+        rng = np.random.default_rng(seed)
+        while True:
+            order = rng.permutation(len(self))
+            for start in range(0, len(self) - batch_size + 1, batch_size):
+                idx = order[start : start + batch_size]
+                yield {
+                    "pixel_values": np.stack([self.pixel_values[i] for i in idx]),
+                    "prompts": [self.instance_prompt] * len(idx),
+                    "original_sizes": [self.original_sizes[i] for i in idx],
+                    "crop_top_lefts": [self.crop_top_lefts[i] for i in idx],
+                }
+
+
+class NegativePool:
+    """Self-generated loser images; random picks per train step."""
+
+    def __init__(self, images: np.ndarray, seed: int = 0):
+        """images: (N, H, W, 3) float32 in [-1, 1]."""
+        self.images = np.asarray(images)
+        self.rng = np.random.default_rng(seed)
+
+    def __len__(self):
+        return len(self.images)
+
+    def sample(self, batch_size: int) -> np.ndarray:
+        idx = self.rng.choice(len(self.images), batch_size, replace=False)
+        return self.images[idx]

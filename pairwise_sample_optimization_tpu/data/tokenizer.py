@@ -64,6 +64,34 @@ def _clean(text: str) -> str:
     return " ".join(text.split()).strip().lower()
 
 
+class HashTokenizer:
+    """Vocab-free fallback: deterministic pseudo-ids from token hashes.
+
+    Lets random-weight smoke runs and throughput benches exercise the full
+    tokenize->encode->sample->score pipeline without a BPE merge file.
+    NOT a real tokenizer — never use with ported text-encoder weights.
+    """
+
+    def __init__(self, context_length: int = 77, vocab_size: int = 49408,
+                 pad_token_id: int | None = None):
+        self.context_length = context_length
+        self.vocab_size = vocab_size
+        self.sot = vocab_size - 2
+        self.eot = vocab_size - 1
+        self.pad_token_id = self.eot if pad_token_id is None else pad_token_id
+
+    def __call__(self, texts: str | Sequence[str]) -> np.ndarray:
+        if isinstance(texts, str):
+            texts = [texts]
+        out = np.full((len(texts), self.context_length), self.pad_token_id, np.int32)
+        for i, text in enumerate(texts):
+            words = _clean(text).split()[: self.context_length - 2]
+            ids = [hash(w) % (self.vocab_size - 2) for w in words]
+            row = [self.sot] + ids + [self.eot]
+            out[i, : len(row)] = row
+        return out
+
+
 class CLIPTokenizer:
     def __init__(
         self,

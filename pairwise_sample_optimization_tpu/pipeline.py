@@ -1,0 +1,250 @@
+"""SDXL pipeline bundle: models + tokenizers + schedules wired together.
+
+The assembly layer the CLIs, bench, and eval build on. Unlike the
+reference (which reloads a fresh diffusers pipeline from disk for every
+validation pass, ``train_online_pso_sdxl_turbo.py:130-140``), the bundle
+shares live HBM weights between training and generation — validation is
+just another jitted call with the current LoRA.
+
+Weight sources:
+- ``SDXLPipeline.random(...)`` — architecture-true random init (throughput
+  benches, compile checks, tests);
+- ``SDXLPipeline.from_torch_dir(...)`` — port a local diffusers-layout
+  checkpoint directory via ``checkpoints.convert`` (no network I/O).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from .checkpoints.convert import load_torch_state_dict, torch_to_flax
+from .checkpoints.torch_names import (
+    clip_text_param_map,
+    unet_param_map,
+    vae_param_map,
+)
+from .data.tokenizer import CLIPTokenizer
+from .models import (
+    AutoencoderKL,
+    CLIPTextConfig,
+    CLIPTextTower,
+    SDXLUNet,
+    UNetConfig,
+    VAEConfig,
+)
+from .models.sdxl_text import compute_time_ids, encode_sdxl_prompt
+from .ops.schedules import make_euler_ancestral_schedule
+from .train.sampling import sample_turbo_trajectories
+
+
+@dataclasses.dataclass
+class SDXLPipeline:
+    unet_config: UNetConfig
+    unet: SDXLUNet
+    unet_variables: dict
+    vae: AutoencoderKL
+    vae_variables: dict
+    te1: Optional[CLIPTextTower] = None
+    te1_variables: Optional[dict] = None
+    te2: Optional[CLIPTextTower] = None
+    te2_variables: Optional[dict] = None
+    tokenizer_one: Optional[CLIPTokenizer] = None
+    tokenizer_two: Optional[CLIPTokenizer] = None
+    resolution: int = 512
+
+    # ------------------------------------------------------------------ #
+    # constructors
+    # ------------------------------------------------------------------ #
+
+    @classmethod
+    def random(
+        cls,
+        lora_rank: int = 0,
+        dtype=jnp.bfloat16,
+        resolution: int = 512,
+        with_text_encoders: bool = True,
+        tiny: bool = False,
+        bpe_path: str = "",
+        key: Optional[jax.Array] = None,
+        fast_init: bool = False,
+        param_dtype=None,
+    ) -> "SDXLPipeline":
+        """``fast_init=True`` fills params with zeros from eval_shape instead
+        of compiling the (huge) random-init program — seconds instead of
+        minutes for the 2.6B UNet. Use for throughput benches and compile
+        checks; values are irrelevant there.
+
+        ``param_dtype``: storage dtype for frozen tower weights. Default
+        fp32; pass ``jnp.bfloat16`` for inference/bench (the reference
+        samples with fp16 weights) — the full SDXL + CLIP-H weight set
+        must be half precision to fit a 16 GB v5e chip.
+        """
+        key = key if key is not None else jax.random.key(0)
+        ks = jax.random.split(key, 4)
+        pd = {} if param_dtype is None else {"param_dtype": param_dtype}
+
+        def init_fn(module):
+            if not fast_init:
+                return module.init
+
+            def zeros_init(rng, *args, **kwargs):
+                shapes = jax.eval_shape(lambda: module.init(rng, *args, **kwargs))
+                return jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+
+            return zeros_init
+        if tiny:
+            ucfg = UNetConfig.tiny(lora_rank=lora_rank)
+            vcfg = VAEConfig.tiny()
+            t1cfg = CLIPTextConfig.tiny()
+            t2cfg = dataclasses.replace(
+                CLIPTextConfig.tiny(), width=16, projection_dim=16, heads=2
+            )
+        else:
+            ucfg = dataclasses.replace(
+                UNetConfig.sdxl(lora_rank=lora_rank, dtype=dtype), **pd
+            )
+            vcfg = dataclasses.replace(VAEConfig.sdxl(), dtype=dtype, **pd)
+            t1cfg = dataclasses.replace(CLIPTextConfig.sdxl_te1(dtype=dtype), **pd)
+            t2cfg = dataclasses.replace(CLIPTextConfig.sdxl_te2(dtype=dtype), **pd)
+
+        latent_hw = resolution // 8
+        unet = SDXLUNet(ucfg)
+        unet_vars = init_fn(unet)(
+            ks[0],
+            jnp.zeros((1, latent_hw, latent_hw, ucfg.in_channels)),
+            jnp.zeros((1,)),
+            jnp.zeros((1, 77, ucfg.cross_attention_dim)),
+            jnp.zeros((1, ucfg.pooled_embed_dim)),
+            jnp.zeros((1, 6)),
+        )
+        vae = AutoencoderKL(vcfg)
+        vae_init_hw = 2 ** (len(vcfg.block_out_channels) + 2)
+        vae_vars = init_fn(vae)(
+            ks[1], jnp.zeros((1, vae_init_hw, vae_init_hw, 3)), ks[1]
+        )
+        te1 = te2 = te1_vars = te2_vars = tok1 = tok2 = None
+        if with_text_encoders:
+            te1 = CLIPTextTower(t1cfg)
+            te1_vars = init_fn(te1)(ks[2], jnp.zeros((1, 77), jnp.int32))
+            te2 = CLIPTextTower(t2cfg)
+            te2_vars = init_fn(te2)(ks[3], jnp.zeros((1, 77), jnp.int32))
+            if bpe_path and os.path.exists(bpe_path):
+                tok1 = CLIPTokenizer(bpe_path)
+                tok2 = CLIPTokenizer(bpe_path, pad_token_id=0)
+        return cls(
+            unet_config=ucfg,
+            unet=unet,
+            unet_variables=unet_vars,
+            vae=vae,
+            vae_variables=vae_vars,
+            te1=te1,
+            te1_variables=te1_vars,
+            te2=te2,
+            te2_variables=te2_vars,
+            tokenizer_one=tok1,
+            tokenizer_two=tok2,
+            resolution=resolution,
+        )
+
+    @classmethod
+    def from_torch_dir(
+        cls,
+        model_dir: str,
+        lora_rank: int = 0,
+        dtype=jnp.bfloat16,
+        resolution: int = 512,
+        bpe_path: str = "",
+        key: Optional[jax.Array] = None,
+    ) -> "SDXLPipeline":
+        """Port a local diffusers checkpoint directory (unet/, vae/,
+        text_encoder/, text_encoder_2/ with .safetensors or .bin files)."""
+        pipe = cls.random(
+            lora_rank=lora_rank,
+            dtype=dtype,
+            resolution=resolution,
+            bpe_path=bpe_path,
+            key=key,
+        )
+
+        def find_weights(sub):
+            d = os.path.join(model_dir, sub)
+            if not os.path.isdir(d):
+                return None
+            for name in sorted(os.listdir(d)):
+                if name.endswith((".safetensors", ".bin")):
+                    return os.path.join(d, name)
+            return None
+
+        loads = [
+            ("unet", pipe.unet_variables, functools.partial(unet_param_map, n_levels=3)),
+            ("vae", pipe.vae_variables, functools.partial(vae_param_map, n_levels=4)),
+            ("text_encoder", pipe.te1_variables, clip_text_param_map),
+            ("text_encoder_2", pipe.te2_variables, clip_text_param_map),
+        ]
+        for sub, variables, nm in loads:
+            path = find_weights(sub)
+            if path is None or variables is None:
+                continue
+            sd = load_torch_state_dict(path)
+            params, _ = torch_to_flax(sd, variables["params"], nm, strict=True)
+            variables["params"] = params
+        return pipe
+
+    # ------------------------------------------------------------------ #
+    # glue for the trainers / generation
+    # ------------------------------------------------------------------ #
+
+    def unet_apply(self, variables, x, t, cond, lora_scale):
+        """Adapter with the OnlinePSOTrainer calling convention."""
+        return self.unet.apply(
+            variables,
+            x,
+            t,
+            cond["embeds"],
+            cond["pooled"],
+            cond["time_ids"],
+            lora_scale=lora_scale,
+        )
+
+    def encode_prompt(self, input_ids_one, input_ids_two):
+        embeds, pooled = encode_sdxl_prompt(
+            self.te1,
+            self.te1_variables,
+            self.te2,
+            self.te2_variables,
+            input_ids_one,
+            input_ids_two,
+        )
+        time_ids = compute_time_ids(embeds.shape[0], self.resolution)
+        return {"embeds": embeds, "pooled": pooled, "time_ids": time_ids}
+
+    def decode(self, latents):
+        return self.vae.apply(self.vae_variables, latents, method=self.vae.decode)
+
+    def generate(
+        self,
+        cond: dict,
+        key: jax.Array,
+        num_steps: int = 4,
+        lora_scale: float = 1.0,
+    ):
+        """Turbo txt2img: returns images in [-1, 1], (B, H, W, 3)."""
+        schedule = make_euler_ancestral_schedule(num_steps)
+        b = cond["embeds"].shape[0]
+        hw = self.resolution // 8
+        k_init, k_traj = jax.random.split(key)
+        init = jax.random.normal(
+            k_init, (b, hw, hw, self.unet_config.in_channels), jnp.float32
+        )
+
+        def eps_fn(x, t):
+            return self.unet_apply(self.unet_variables, x, t, cond, lora_scale)
+
+        traj = sample_turbo_trajectories(eps_fn, schedule, init, k_traj)
+        return self.decode(traj.final_latents)

@@ -28,18 +28,31 @@ class PickScoreScorer:
         text_config: Optional[CLIPTextConfig] = None,
         vision_config: Optional[CLIPVisionConfig] = None,
         key: Optional[jax.Array] = None,
+        fast_init: bool = False,
+        param_dtype=None,
     ):
+        import dataclasses as _dc
+
         self.text_config = text_config or CLIPTextConfig.vit_h14()
         self.vision_config = vision_config or CLIPVisionConfig.vit_h14()
+        if param_dtype is not None:
+            self.text_config = _dc.replace(self.text_config, param_dtype=param_dtype)
+            self.vision_config = _dc.replace(self.vision_config, param_dtype=param_dtype)
         self.model = CLIPDualEncoder(self.text_config, self.vision_config)
         if variables is None:
             key = key if key is not None else jax.random.key(0)
             size = self.vision_config.image_size
-            variables = self.model.init(
+            init = lambda: self.model.init(
                 key,
                 jnp.zeros((1, size, size, 3)),
                 jnp.zeros((1, 2), jnp.int32),
             )
+            if fast_init:  # zeros from eval_shape: benches/compile checks
+                variables = jax.tree.map(
+                    lambda s: jnp.zeros(s.shape, s.dtype), jax.eval_shape(init)
+                )
+            else:
+                variables = init()
         self.variables = variables
         self._score = jax.jit(self._score_impl, static_argnames=("softmax",))
         self._text_features = jax.jit(self._text_features_impl)
