@@ -1,0 +1,180 @@
+"""PickaPic-test evaluation of SDXL-DMD2 (+PSO LoRA) — entry-point parity
+with the reference ``evaluate_sdxl_dmd2.py``.
+
+Protocol (reference ``:50-131,169-236``): 4-step DMD2 generation on the
+fixed lattice [999,749,499,249] at guidance 0, one image per prompt over
+the eval prompt set sharded round-robin across processes (pad the last
+shard, gather, truncate), scored with PickScore, CLIP score, ImageReward
+and the LAION aesthetic model; report means.
+
+Weights: local diffusers-layout dirs via --model_dir/--lora_path (the
+framework does no network I/O); absent weights run the protocol with
+random towers (pipeline smoke / throughput mode).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..checkpoints import import_lora_safetensors
+from ..data import CLIPTokenizer, HashTokenizer, PromptDataset
+from ..models.clip import CLIPTextConfig, CLIPVisionConfig
+from ..parallel.collectives import padded_gather
+from ..pipeline import SDXLPipeline
+from ..rewards import AestheticScorer, CLIPScorer, PickScoreScorer
+from ..utils import get_logger
+
+logger = get_logger("pso.eval")
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--model_dir", default="", help="local diffusers SDXL dir")
+    p.add_argument("--lora_path", default="", help="pytorch_lora_weights.safetensors")
+    p.add_argument("--lora_rank", type=int, default=16)
+    p.add_argument("--bpe_path", default=os.environ.get("PSO_BPE_PATH", ""))
+    p.add_argument("--prompts_json", default="", help="eval prompt list json")
+    p.add_argument("--max_prompts", type=int, default=0, help="0 = all")
+    p.add_argument("--resolution", type=int, default=1024)
+    p.add_argument("--num_steps", type=int, default=4)
+    p.add_argument("--batch_size", type=int, default=2)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument(
+        "--scorers",
+        default="pickscore,clip,aesthetic",
+        help="comma list: pickscore,clip,aesthetic,imagereward",
+    )
+    p.add_argument("--output_json", default="")
+    p.add_argument("--tiny", action="store_true", help="toy models (smoke/CI)")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+
+    # ---- prompts, sharded round-robin with pad math (ref :216-224) ----
+    dataset = PromptDataset(args.prompts_json)
+    prompts = dataset.prompts
+    if args.max_prompts:
+        prompts = prompts[: args.max_prompts]
+    n_total = len(prompts)
+    n_proc, rank = jax.process_count(), jax.process_index()
+    shard = prompts[rank::n_proc]
+    # pad so every process runs the same number of batches
+    per = -(-n_total // n_proc)
+    while len(shard) < per:
+        shard.append(shard[-1] if shard else "")
+
+    # ---- models ----
+    if args.model_dir:
+        pipe = SDXLPipeline.from_torch_dir(
+            args.model_dir,
+            lora_rank=args.lora_rank,
+            resolution=args.resolution,
+            bpe_path=args.bpe_path,
+        )
+    else:
+        logger.warning("no --model_dir: random weights (protocol smoke mode)")
+        pipe = SDXLPipeline.random(
+            lora_rank=args.lora_rank,
+            resolution=args.resolution,
+            bpe_path=args.bpe_path,
+            tiny=args.tiny,
+            fast_init=not args.tiny,
+            param_dtype=None if args.tiny else jnp.bfloat16,
+        )
+    if args.lora_path:
+        pipe.unet_variables["lora"] = import_lora_safetensors(
+            args.lora_path, pipe.unet_variables["lora"]
+        )
+        logger.info("loaded PSO LoRA from %s", args.lora_path)
+
+    if args.bpe_path and os.path.exists(args.bpe_path):
+        tok1 = CLIPTokenizer(args.bpe_path)
+        tok2 = CLIPTokenizer(args.bpe_path, pad_token_id=0)
+        tok_r = CLIPTokenizer(args.bpe_path)
+    else:
+        vs = pipe.te1.config.vocab_size
+        tok1 = HashTokenizer(vocab_size=vs)
+        tok2 = HashTokenizer(vocab_size=vs, pad_token_id=0)
+        tok_r = HashTokenizer(vocab_size=vs)
+
+    if args.tiny:
+        sc_text, sc_vision = CLIPTextConfig.tiny(), CLIPVisionConfig.tiny()
+        sc_kwargs = {}
+    else:
+        sc_text, sc_vision = CLIPTextConfig.vit_h14(), CLIPVisionConfig.vit_h14()
+        sc_kwargs = {"fast_init": not args.model_dir, "param_dtype": jnp.bfloat16}
+    wanted = set(args.scorers.split(","))
+    scorers = {}
+    if "pickscore" in wanted:
+        scorers["pickscore"] = PickScoreScorer(
+            text_config=sc_text, vision_config=sc_vision, **sc_kwargs
+        )
+    if "clip" in wanted:
+        scorers["clip"] = CLIPScorer(
+            text_config=sc_text, vision_config=sc_vision, **sc_kwargs
+        )
+    if "aesthetic" in wanted:
+        scorers["aesthetic"] = AestheticScorer(
+            vision_config=CLIPVisionConfig.tiny() if args.tiny else None
+        )
+    if "imagereward" in wanted:
+        try:
+            from ..rewards.imagereward import ImageRewardScorer
+
+            scorers["imagereward"] = ImageRewardScorer()
+        except Exception as e:
+            logger.warning("ImageReward scorer unavailable (%s); skipping", e)
+
+    encode = jax.jit(pipe.encode_prompt)
+    generate = jax.jit(
+        lambda cond, key: pipe.generate_dmd(cond, key, num_steps=args.num_steps)
+    )
+
+    # ---- generation + scoring ----
+    results = {name: [] for name in scorers}
+    key = jax.random.fold_in(jax.random.key(args.seed), rank)
+    bs = args.batch_size
+    for start in range(0, len(shard), bs):
+        batch_prompts = shard[start : start + bs]
+        if len(batch_prompts) < bs:
+            batch_prompts = batch_prompts + [batch_prompts[-1]] * (bs - len(batch_prompts))
+        cond = encode(
+            jnp.asarray(tok1(batch_prompts)), jnp.asarray(tok2(batch_prompts))
+        )
+        images = generate(cond, jax.random.fold_in(key, start))
+        r_ids = jnp.asarray(tok_r(batch_prompts))
+        for name, scorer in scorers.items():
+            if name == "aesthetic":
+                s = scorer.score(images)
+            else:
+                s = scorer.score(images, r_ids)
+            results[name].append(np.asarray(s)[: len(batch_prompts)])
+        done = min(start + bs, len(shard))
+        if done % (10 * bs) < bs:
+            logger.info("[%d/%d] prompts evaluated", done, len(shard))
+
+    # ---- padded gather -> truncate -> means (ref :99-130) ----
+    summary = {}
+    for name, chunks in results.items():
+        local = np.concatenate(chunks)[: per]
+        gathered = padded_gather([local], per * n_proc)[:n_total]
+        summary[f"{name}_mean"] = float(np.mean(gathered))
+        logger.info("%s on eval set: %.8f", name, summary[f"{name}_mean"])
+
+    if rank == 0 and args.output_json:
+        with open(args.output_json, "w") as f:
+            json.dump({"n_prompts": n_total, **summary}, f, indent=2)
+    print(json.dumps(summary))
+    return summary
+
+
+if __name__ == "__main__":
+    main()

@@ -39,7 +39,7 @@ from ..utils import MetricLogger, PhaseTimer, get_logger
 logger = get_logger("pso.online")
 
 
-def build_tokenizers(config):
+def build_tokenizers(config, vocab_size: int = 49408):
     bpe = config.pretrained.bpe_path
     if bpe and os.path.exists(bpe):
         return (
@@ -51,7 +51,11 @@ def build_tokenizers(config):
         "no BPE vocab at %r -- using HashTokenizer (random-weight smoke mode)",
         bpe,
     )
-    return HashTokenizer(), HashTokenizer(pad_token_id=0), HashTokenizer()
+    return (
+        HashTokenizer(vocab_size=vocab_size),
+        HashTokenizer(vocab_size=vocab_size, pad_token_id=0),
+        HashTokenizer(vocab_size=vocab_size),
+    )
 
 
 def run_online_pso(config, sampler: str, num_epochs: Optional[int] = None):
@@ -71,6 +75,7 @@ def run_online_pso(config, sampler: str, num_epochs: Optional[int] = None):
 
     # ---- models ----
     rank = config.train.lora_rank if config.use_lora else 0
+    tiny = bool(config.get("tiny_model", False))
     if config.pretrained.model_dir:
         pipe = SDXLPipeline.from_torch_dir(
             config.pretrained.model_dir,
@@ -83,7 +88,7 @@ def run_online_pso(config, sampler: str, num_epochs: Optional[int] = None):
         logger.warning("no pretrained model_dir -- random weights (smoke mode)")
         pipe = SDXLPipeline.random(
             lora_rank=rank, dtype=dtype, resolution=resolution,
-            bpe_path=config.pretrained.bpe_path,
+            bpe_path=config.pretrained.bpe_path, tiny=tiny,
         )
 
     ps_kwargs = {}
@@ -95,12 +100,14 @@ def run_online_pso(config, sampler: str, num_epochs: Optional[int] = None):
             "pickscore_dir porting lands with the eval CLI weight tooling"
         )
     scorer = PickScoreScorer(
-        text_config=CLIPTextConfig.vit_h14(dtype=dtype),
-        vision_config=CLIPVisionConfig.vit_h14(dtype=dtype),
+        text_config=CLIPTextConfig.tiny() if tiny else CLIPTextConfig.vit_h14(dtype=dtype),
+        vision_config=CLIPVisionConfig.tiny() if tiny else CLIPVisionConfig.vit_h14(dtype=dtype),
         **ps_kwargs,
     )
 
-    tok1, tok2, tok_r = build_tokenizers(config)
+    tok1, tok2, tok_r = build_tokenizers(
+        config, vocab_size=pipe.te1.config.vocab_size if tiny else 49408
+    )
     dataset = PromptDataset(config.prompt_json)
     loader = PromptLoader(
         dataset,
@@ -142,7 +149,7 @@ def run_online_pso(config, sampler: str, num_epochs: Optional[int] = None):
         tx,
         decode_fn=pipe.decode,
         reward_fn=reward_fn,
-        latent_hw=resolution // 8,
+        latent_hw=pipe.latent_hw,
     )
 
     # ---- state / resume ----
@@ -150,7 +157,9 @@ def run_online_pso(config, sampler: str, num_epochs: Optional[int] = None):
     if config.resume_from:
         ckpt = latest_checkpoint(config.resume_from)
         if ckpt:
-            state, extra = restore_train_state(ckpt, jax.eval_shape(lambda: state))
+            state, extra = restore_train_state(
+                ckpt, jax.eval_shape(lambda: state), {"epoch": 0}
+            )
             logger.info("resumed from %s (step %d)", ckpt, int(state.step))
 
     encode = jax.jit(pipe.encode_prompt)

@@ -21,6 +21,8 @@ def get_config():
     config.num_checkpoint_limit = 10
     # compute dtype for frozen towers; LoRA + optimizer state stay fp32
     config.mixed_precision = "bf16"  # "bf16" | "no"
+    # toy 2-level models end-to-end (CI smoke / CPU bringup)
+    config.tiny_model = False
     config.resume_from = ""  # run dir or exact checkpoint-### dir (wired!)
     config.use_lora = True
     config.use_wandb = False

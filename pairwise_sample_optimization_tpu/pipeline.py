@@ -39,8 +39,12 @@ from .models import (
     VAEConfig,
 )
 from .models.sdxl_text import compute_time_ids, encode_sdxl_prompt
-from .ops.schedules import make_euler_ancestral_schedule
-from .train.sampling import sample_turbo_trajectories
+from .ops.schedules import (
+    distill_timesteps,
+    make_alphas_cumprod,
+    make_euler_ancestral_schedule,
+)
+from .train.sampling import sample_dmd_trajectories, sample_turbo_trajectories
 
 
 @dataclasses.dataclass
@@ -57,6 +61,15 @@ class SDXLPipeline:
     tokenizer_one: Optional[CLIPTokenizer] = None
     tokenizer_two: Optional[CLIPTokenizer] = None
     resolution: int = 512
+
+    @property
+    def latent_downscale(self) -> int:
+        """Spatial ratio image->latent from the VAE depth (8 for SDXL)."""
+        return 2 ** (len(self.vae.config.block_out_channels) - 1)
+
+    @property
+    def latent_hw(self) -> int:
+        return self.resolution // self.latent_downscale
 
     # ------------------------------------------------------------------ #
     # constructors
@@ -101,7 +114,9 @@ class SDXLPipeline:
         if tiny:
             ucfg = UNetConfig.tiny(lora_rank=lora_rank)
             vcfg = VAEConfig.tiny()
-            t1cfg = CLIPTextConfig.tiny()
+            # TE widths sum to the UNet cross-attention dim (16+16=32);
+            # TE2 projection matches the pooled-embed dim (16)
+            t1cfg = dataclasses.replace(CLIPTextConfig.tiny(), width=16, heads=2)
             t2cfg = dataclasses.replace(
                 CLIPTextConfig.tiny(), width=16, projection_dim=16, heads=2
             )
@@ -237,7 +252,7 @@ class SDXLPipeline:
         """Turbo txt2img: returns images in [-1, 1], (B, H, W, 3)."""
         schedule = make_euler_ancestral_schedule(num_steps)
         b = cond["embeds"].shape[0]
-        hw = self.resolution // 8
+        hw = self.latent_hw
         k_init, k_traj = jax.random.split(key)
         init = jax.random.normal(
             k_init, (b, hw, hw, self.unet_config.in_channels), jnp.float32
@@ -247,4 +262,31 @@ class SDXLPipeline:
             return self.unet_apply(self.unet_variables, x, t, cond, lora_scale)
 
         traj = sample_turbo_trajectories(eps_fn, schedule, init, k_traj)
+        return self.decode(traj.final_latents)
+
+    def generate_dmd(
+        self,
+        cond: dict,
+        key: jax.Array,
+        num_steps: int = 4,
+        lora_scale: float = 1.0,
+        shared_noise: bool = True,
+    ):
+        """DMD2 txt2img on the fixed lattice (e.g. [999,749,499,249]),
+        guidance 0 — the reference eval protocol (``evaluate_sdxl_dmd2.py``)."""
+        timesteps = jnp.asarray(distill_timesteps(num_steps))
+        alphas_cumprod = make_alphas_cumprod()
+        b = cond["embeds"].shape[0]
+        hw = self.latent_hw
+        k_init, k_traj = jax.random.split(key)
+        init = jax.random.normal(
+            k_init, (b, hw, hw, self.unet_config.in_channels), jnp.float32
+        )
+
+        def eps_fn(x, t):
+            return self.unet_apply(self.unet_variables, x, t, cond, lora_scale)
+
+        traj = sample_dmd_trajectories(
+            eps_fn, alphas_cumprod, timesteps, init, k_traj, shared_noise=shared_noise
+        )
         return self.decode(traj.final_latents)

@@ -1,0 +1,114 @@
+"""End-to-end CLI smoke tests on tiny models (CPU).
+
+These drive the actual entry points the reference exposes
+(train_online_pso_sdxl_turbo / _dmd2, evaluate_sdxl_dmd2,
+train_pso_sdxl_turbo_dreambooth) through their public interfaces.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+def _tiny_online_config(tmp_path, sampler):
+    from pairwise_sample_optimization_tpu.configs import dmd_config, turbo_config
+
+    config = turbo_config() if sampler == "turbo" else dmd_config()
+    config.tiny_model = True
+    config.mixed_precision = "no"
+    config.sample.resolution = 16
+    config.sample.batch_size = 2
+    config.sample.num_batches_per_epoch = 1
+    config.train.batch_size = 2
+    config.train.gradient_accumulation_steps = 1
+    config.train.lora_rank = 2
+    config.checkpointing_steps = 1
+    config.output_dir = str(tmp_path)
+    config.run_name = f"smoke_{sampler}"
+    return config
+
+
+@pytest.mark.parametrize("sampler", ["turbo", "dmd"])
+def test_online_runner_tiny(tmp_path, sampler):
+    from pairwise_sample_optimization_tpu.cli.online_runner import run_online_pso
+
+    config = _tiny_online_config(tmp_path, sampler)
+    state, history = run_online_pso(config, sampler=sampler, num_epochs=1)
+    assert len(history) == 1
+    assert np.isfinite(history[0]["loss"])
+    # on-policy first update anchor
+    np.testing.assert_allclose(history[0]["loss"], np.log(2.0), rtol=1e-3)
+    out = os.path.join(str(tmp_path), f"smoke_{sampler}")
+    assert os.path.exists(os.path.join(out, "metrics.jsonl"))
+    assert os.path.exists(
+        os.path.join(out, "lora-1", "pytorch_lora_weights.safetensors")
+    )
+
+
+def test_online_runner_resume(tmp_path):
+    from pairwise_sample_optimization_tpu.cli.online_runner import run_online_pso
+
+    config = _tiny_online_config(tmp_path, "turbo")
+    state1, _ = run_online_pso(config, sampler="turbo", num_epochs=1)
+    config.resume_from = os.path.join(str(tmp_path), "smoke_turbo")
+    state2, _ = run_online_pso(config, sampler="turbo", num_epochs=1)
+    assert int(state2.step) == int(state1.step) + 1
+
+
+def test_evaluate_cli_tiny(tmp_path):
+    from pairwise_sample_optimization_tpu.cli.evaluate_sdxl_dmd2 import main
+
+    out = str(tmp_path / "eval.json")
+    summary = main(
+        [
+            "--tiny",
+            "--resolution=16",
+            "--batch_size=2",
+            "--max_prompts=4",
+            "--num_steps=4",
+            "--scorers=pickscore,clip,aesthetic",
+            f"--output_json={out}",
+        ]
+    )
+    assert set(summary) == {"pickscore_mean", "clip_mean", "aesthetic_mean"}
+    assert all(np.isfinite(v) for v in summary.values())
+    with open(out) as f:
+        assert json.load(f)["n_prompts"] == 4
+
+
+def test_dreambooth_cli_tiny(tmp_path):
+    from PIL import Image
+
+    from pairwise_sample_optimization_tpu.cli.train_pso_sdxl_turbo_dreambooth import (
+        main,
+    )
+
+    d = tmp_path / "instance"
+    d.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        Image.fromarray(
+            rng.integers(0, 255, (40, 40, 3), dtype=np.uint8)
+        ).save(d / f"{i}.png")
+
+    state = main(
+        [
+            "--tiny",
+            f"--instance_data_dir={d}",
+            "--instance_prompt=a photo of sks dog",
+            "--class_prompt=a photo of dog",
+            "--resolution=16",
+            "--train_batch_size=2",
+            "--max_train_steps=2",
+            "--num_negatives=3",
+            "--rank=2",
+            "--checkpointing_steps=2",
+            f"--output_dir={tmp_path / 'out'}",
+        ]
+    )
+    assert int(state.step) == 2
+    assert os.path.exists(
+        tmp_path / "out" / "lora-2" / "pytorch_lora_weights.safetensors"
+    )
