@@ -13,11 +13,17 @@ import jax
 import jax.numpy as jnp
 
 _USE_PALLAS = False
+# pallas wins only once the activation is large enough that the extra HBM
+# pass dominates (measured on v5e: VAE-decoder 512^2 x128 3.4ms vs 3.9ms
+# XLA; small UNet shapes lose) — gate by element count
+_PALLAS_MIN_ELEMS = 4 * 1024 * 1024
 
 
-def set_use_pallas(flag: bool) -> None:
-    global _USE_PALLAS
+def set_use_pallas(flag: bool, min_elems: int | None = None) -> None:
+    global _USE_PALLAS, _PALLAS_MIN_ELEMS
     _USE_PALLAS = flag
+    if min_elems is not None:
+        _PALLAS_MIN_ELEMS = min_elems
 
 
 def group_norm(
@@ -32,7 +38,12 @@ def group_norm(
 
     x: (..., C); scale/bias: (C,).
     """
-    if _USE_PALLAS and x.ndim == 4 and act == "silu":
+    if (
+        _USE_PALLAS
+        and x.ndim == 4
+        and act == "silu"
+        and x.shape[1] * x.shape[2] * x.shape[3] >= _PALLAS_MIN_ELEMS
+    ):
         from .fused_groupnorm import fused_groupnorm_silu
 
         return fused_groupnorm_silu(x, scale, bias, num_groups, eps)
