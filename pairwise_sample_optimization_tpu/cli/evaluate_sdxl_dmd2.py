@@ -52,6 +52,7 @@ def parse_args(argv=None):
     )
     p.add_argument("--output_json", default="")
     p.add_argument("--tiny", action="store_true", help="toy models (smoke/CI)")
+    p.add_argument("--wordpiece_vocab", default="", help="bert vocab.txt for ImageReward")
     return p.parse_args(argv)
 
 
@@ -125,13 +126,29 @@ def main(argv=None):
         scorers["aesthetic"] = AestheticScorer(
             vision_config=CLIPVisionConfig.tiny() if args.tiny else None
         )
+    ir_tok = None
     if "imagereward" in wanted:
-        try:
-            from ..rewards.imagereward import ImageRewardScorer
+        from ..data.wordpiece import WordPieceTokenizer
+        from ..models.bert import BertConfig
+        from ..models.vit import ViTConfig
+        from ..rewards.imagereward import ImageRewardScorer
 
-            scorers["imagereward"] = ImageRewardScorer()
-        except Exception as e:
-            logger.warning("ImageReward scorer unavailable (%s); skipping", e)
+        if args.tiny:
+            scorers["imagereward"] = ImageRewardScorer(
+                vit_config=ViTConfig.tiny(), bert_config=BertConfig.tiny()
+            )
+            ir_tok = WordPieceTokenizer(
+                vocab=["[PAD]", "[UNK]", "[CLS]", "[SEP]"]
+                + [chr(c) for c in range(ord("a"), ord("z") + 1)],
+                context_length=35,
+            )
+        elif args.wordpiece_vocab and os.path.exists(args.wordpiece_vocab):
+            scorers["imagereward"] = ImageRewardScorer(fast_init=not args.model_dir)
+            ir_tok = WordPieceTokenizer(args.wordpiece_vocab)
+        else:
+            logger.warning(
+                "ImageReward needs --wordpiece_vocab (bert vocab.txt); skipping"
+            )
 
     encode = jax.jit(pipe.encode_prompt)
     generate = jax.jit(
@@ -154,6 +171,9 @@ def main(argv=None):
         for name, scorer in scorers.items():
             if name == "aesthetic":
                 s = scorer.score(images)
+            elif name == "imagereward":
+                wp_ids, wp_mask = ir_tok(batch_prompts)
+                s = scorer.score(images, jnp.asarray(wp_ids), jnp.asarray(wp_mask))
             else:
                 s = scorer.score(images, r_ids)
             results[name].append(np.asarray(s)[: len(batch_prompts)])

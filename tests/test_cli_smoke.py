@@ -78,6 +78,22 @@ def test_evaluate_cli_tiny(tmp_path):
         assert json.load(f)["n_prompts"] == 4
 
 
+def test_evaluate_cli_imagereward_tiny(tmp_path):
+    from pairwise_sample_optimization_tpu.cli.evaluate_sdxl_dmd2 import main
+
+    summary = main(
+        [
+            "--tiny",
+            "--resolution=16",
+            "--batch_size=2",
+            "--max_prompts=2",
+            "--scorers=imagereward",
+        ]
+    )
+    assert set(summary) == {"imagereward_mean"}
+    assert np.isfinite(summary["imagereward_mean"])
+
+
 def test_dreambooth_cli_tiny(tmp_path):
     from PIL import Image
 
