@@ -11,6 +11,7 @@ from .convert import (
     load_torch_state_dict,
 )
 from .lora_safetensors import export_lora_safetensors, import_lora_safetensors
+from .clip_loader import load_hf_clip_dual
 
 __all__ = [
     "save_train_state",
@@ -25,4 +26,5 @@ __all__ = [
     "load_torch_state_dict",
     "export_lora_safetensors",
     "import_lora_safetensors",
+    "load_hf_clip_dual",
 ]

@@ -91,19 +91,18 @@ def run_online_pso(config, sampler: str, num_epochs: Optional[int] = None):
             bpe_path=config.pretrained.bpe_path, tiny=tiny,
         )
 
-    ps_kwargs = {}
-    if config.pretrained.pickscore_dir:
-        from ..checkpoints.convert import load_torch_state_dict, torch_to_flax
-        # PickScore ships as a single HF CLIPModel state dict
-        # (text_model.* / vision_model.* / *_projection / logit_scale)
-        raise NotImplementedError(
-            "pickscore_dir porting lands with the eval CLI weight tooling"
-        )
     scorer = PickScoreScorer(
         text_config=CLIPTextConfig.tiny() if tiny else CLIPTextConfig.vit_h14(dtype=dtype),
         vision_config=CLIPVisionConfig.tiny() if tiny else CLIPVisionConfig.vit_h14(dtype=dtype),
-        **ps_kwargs,
     )
+    if config.pretrained.pickscore_dir:
+        # PickScore ships as one HF CLIPModel state dict
+        from ..checkpoints import load_hf_clip_dual
+
+        scorer.variables = load_hf_clip_dual(
+            config.pretrained.pickscore_dir, scorer.variables
+        )
+        logger.info("loaded PickScore weights from %s", config.pretrained.pickscore_dir)
 
     tok1, tok2, tok_r = build_tokenizers(
         config, vocab_size=pipe.te1.config.vocab_size if tiny else 49408
@@ -164,6 +163,56 @@ def run_online_pso(config, sampler: str, num_epochs: Optional[int] = None):
 
     encode = jax.jit(pipe.encode_prompt)
     text_feats = jax.jit(scorer._text_features_impl)
+
+    # ---- validation: live-weight 4-step generation + PickScore/CLIP ----
+    # (the reference serializes LoRA to disk and reloads a whole pipeline
+    # per validation, ``train_online_pso_sdxl_turbo.py:886-902``; here it is
+    # one jitted call sharing HBM weights with training)
+    clip_scorer = CLIPScorer(
+        text_config=CLIPTextConfig.tiny() if tiny else CLIPTextConfig.vit_h14(dtype=dtype),
+        vision_config=CLIPVisionConfig.tiny() if tiny else CLIPVisionConfig.vit_h14(dtype=dtype),
+    )
+    val_dataset = PromptDataset(
+        config.val_dataset if os.path.exists(str(config.val_dataset)) else None
+    )
+    val_prompts = val_dataset.prompts[: config.val_max_prompts]
+
+    @jax.jit
+    def _val_generate(lora, ids1, ids2, key):
+        cond = pipe.encode_prompt(ids1, ids2)
+        saved = pipe.unet_variables
+        pipe.unet_variables = {"params": saved["params"], "lora": lora}
+        try:
+            if sampler == "turbo":
+                images = pipe.generate(cond, key, num_steps=4)
+            else:
+                images = pipe.generate_dmd(cond, key, num_steps=4)
+        finally:
+            pipe.unet_variables = saved
+        return images
+
+    def run_validation(state, step):
+        bs = max(config.sample.batch_size, 1)
+        ps_scores, clip_scores = [], []
+        for start in range(0, len(val_prompts), bs):
+            chunk = val_prompts[start : start + bs]
+            if len(chunk) < bs:
+                chunk = chunk + [chunk[-1]] * (bs - len(chunk))
+            ids1 = jnp.asarray(tok1(chunk))
+            ids2 = jnp.asarray(tok2(chunk))
+            images = _val_generate(
+                state.lora, ids1, ids2,
+                jax.random.fold_in(jax.random.key(config.seed), start),
+            )
+            r_ids = jnp.asarray(tok_r(chunk))
+            ps_scores.append(np.asarray(scorer.score(images, r_ids)))
+            clip_scores.append(np.asarray(clip_scorer.score(images, r_ids)))
+        n = len(val_prompts)
+        ps = np.concatenate(ps_scores)[:n].mean()
+        cs = np.concatenate(clip_scores)[:n].mean()
+        metrics_logger.log_metrics(
+            {"val/pickscore": float(ps), "val/clip_score": float(cs)}, step
+        )
 
     out_dir = os.path.join(config.output_dir, config.run_name or f"online_{sampler}")
     metrics_logger = MetricLogger(
@@ -229,6 +278,10 @@ def run_online_pso(config, sampler: str, num_epochs: Optional[int] = None):
             global_step += 1
             metrics_logger.log_metrics({**m, **timer.summary()}, global_step)
             history.append(m)
+
+            if config.validation_steps and global_step % config.validation_steps == 0:
+                with timer.phase("validation"):
+                    run_validation(state, global_step)
 
             if global_step % config.checkpointing_steps == 0 or global_step == 1:
                 if jax.process_index() == 0:

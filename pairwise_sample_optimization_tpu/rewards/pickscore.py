@@ -54,43 +54,55 @@ class PickScoreScorer:
             else:
                 variables = init()
         self.variables = variables
-        self._score = jax.jit(self._score_impl, static_argnames=("softmax",))
-        self._text_features = jax.jit(self._text_features_impl)
-        self._image_features = jax.jit(self._image_features_impl)
+        # variables are explicit jit args (NOT closure captures) so weight
+        # loading after a warmup call takes effect
+        self._score = jax.jit(self._score_v, static_argnames=("softmax",))
+        self._text_features = jax.jit(self._text_features_v)
+        self._image_features = jax.jit(self._image_features_v)
 
     # --- feature paths (text features are prompt-static; cache per batch) ---
 
-    def _text_features_impl(self, input_ids):
-        t = self.model.apply(self.variables, input_ids, method=self.model.text_features)
+    def _text_features_v(self, variables, input_ids):
+        t = self.model.apply(variables, input_ids, method=self.model.text_features)
         return t / jnp.linalg.norm(t, axis=-1, keepdims=True)
 
-    def _image_features_impl(self, images):
+    def _image_features_v(self, variables, images):
         pixels = clip_preprocess(images, self.vision_config.image_size)
-        f = self.model.apply(self.variables, pixels, method=self.model.image_features)
+        f = self.model.apply(variables, pixels, method=self.model.image_features)
         return f / jnp.linalg.norm(f, axis=-1, keepdims=True)
 
+    # inlineable (non-jit) versions for callers composing larger programs
+    def _text_features_impl(self, input_ids):
+        return self._text_features_v(self.variables, input_ids)
+
+    def _image_features_impl(self, images):
+        return self._image_features_v(self.variables, images)
+
     def text_features(self, input_ids):
-        return self._text_features(input_ids)
+        return self._text_features(self.variables, input_ids)
 
     def image_features(self, images):
-        return self._image_features(images)
+        return self._image_features(self.variables, images)
 
     # --- scoring ---
 
-    def _score_impl(self, images, input_ids, softmax: bool = False):
-        img = self._image_features_impl(images)
-        txt = self._text_features_impl(input_ids)
+    def _score_v(self, variables, images, input_ids, softmax: bool = False):
+        img = self._image_features_v(variables, images)
+        txt = self._text_features_v(variables, input_ids)
         scores = jnp.sum(txt * img, axis=-1)  # diag(text @ image^T)
         if softmax:
-            logit_scale = jnp.exp(self.variables["params"]["logit_scale"])
+            logit_scale = jnp.exp(variables["params"]["logit_scale"])
             return jax.nn.softmax(logit_scale * scores, axis=-1)
         return scores
 
+    def _score_impl(self, images, input_ids, softmax: bool = False):
+        return self._score_v(self.variables, images, input_ids, softmax)
+
     def score(self, images, input_ids, softmax: bool = False):
         """images: (B, H, W, 3) in [-1, 1]; input_ids: (B, 77). -> (B,)"""
-        return self._score(images, input_ids, softmax=softmax)
+        return self._score(self.variables, images, input_ids, softmax=softmax)
 
     def score_with_text_features(self, images, text_features):
         """Hot-loop variant: text features precomputed once per prompt batch."""
-        img = self._image_features(images)
+        img = self._image_features(self.variables, images)
         return jnp.sum(text_features * img, axis=-1)

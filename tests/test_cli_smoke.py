@@ -25,6 +25,8 @@ def _tiny_online_config(tmp_path, sampler):
     config.train.gradient_accumulation_steps = 1
     config.train.lora_rank = 2
     config.checkpointing_steps = 1
+    config.validation_steps = 0  # validation covered by its own test
+    config.val_max_prompts = 4
     config.output_dir = str(tmp_path)
     config.run_name = f"smoke_{sampler}"
     return config
@@ -45,6 +47,23 @@ def test_online_runner_tiny(tmp_path, sampler):
     assert os.path.exists(
         os.path.join(out, "lora-1", "pytorch_lora_weights.safetensors")
     )
+
+
+def test_online_runner_validation(tmp_path):
+    import json
+
+    from pairwise_sample_optimization_tpu.cli.online_runner import run_online_pso
+
+    config = _tiny_online_config(tmp_path, "turbo")
+    config.validation_steps = 1  # validate on the single update
+    run_online_pso(config, sampler="turbo", num_epochs=1)
+    metrics_path = os.path.join(str(tmp_path), "smoke_turbo", "metrics.jsonl")
+    with open(metrics_path) as f:
+        records = [json.loads(line) for line in f]
+    val = [r for r in records if "val/pickscore" in r]
+    assert val, "validation metrics missing"
+    assert np.isfinite(val[0]["val/pickscore"])
+    assert np.isfinite(val[0]["val/clip_score"])
 
 
 def test_online_runner_resume(tmp_path):

@@ -1,0 +1,121 @@
+"""Mesh/collective/PRNG utilities on the 8-fake-device CPU platform."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from pairwise_sample_optimization_tpu.parallel import (
+    MeshSpec,
+    all_gather_batch,
+    data_sharding,
+    host_fold,
+    make_mesh,
+    padded_gather,
+    per_device_keys,
+    pmean_tree,
+)
+from pairwise_sample_optimization_tpu.parallel.collectives import (
+    psum_tree,
+    tree_global_norm,
+)
+from pairwise_sample_optimization_tpu.parallel.mesh import replicate, shard_batch
+
+
+@pytest.fixture
+def mesh():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    return make_mesh(MeshSpec(data=8, model=1))
+
+
+class TestMesh:
+    def test_shapes(self, mesh):
+        assert mesh.shape == {"data": 8, "model": 1}
+
+    def test_bad_spec_raises(self):
+        with pytest.raises(ValueError):
+            MeshSpec(data=3, model=2).resolve(8)
+
+    def test_default_spec_uses_all(self):
+        data, model = MeshSpec().resolve(8)
+        assert (data, model) == (8, 1)
+
+    def test_shard_and_replicate(self, mesh):
+        x = jnp.arange(16.0).reshape(16, 1)
+        xs = shard_batch(mesh, {"x": x})["x"]
+        assert xs.sharding.spec == P("data", None)
+        xr = replicate(mesh, {"x": x})["x"]
+        assert xr.sharding.spec == P()
+
+
+class TestCollectives:
+    def test_pmean_psum_under_shard_map(self, mesh):
+        from jax.experimental.shard_map import shard_map
+
+        x = jnp.arange(8.0)
+
+        def f(x):
+            return pmean_tree({"v": x})["v"], psum_tree({"v": x})["v"]
+
+        mean, total = shard_map(
+            f, mesh=mesh, in_specs=P("data"), out_specs=(P("data"), P("data"))
+        )(x)
+        np.testing.assert_allclose(np.asarray(mean), np.full(8, 3.5))
+        np.testing.assert_allclose(np.asarray(total), np.full(8, 28.0))
+
+    def test_all_gather_batch(self, mesh):
+        from jax.experimental.shard_map import shard_map
+
+        x = jnp.arange(16.0).reshape(16, 1)
+
+        def f(x):
+            return all_gather_batch(x)
+
+        out = shard_map(
+            f,
+            mesh=mesh,
+            in_specs=P("data", None),
+            out_specs=P(None, None),
+            check_rep=False,  # all_gather output replication is not inferred
+        )(x)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(x))
+
+    def test_padded_gather(self):
+        chunks = [np.arange(4), np.array([4, 5, 0, 0])]  # last rank padded
+        out = padded_gather(chunks, total=6)
+        np.testing.assert_array_equal(out, [0, 1, 2, 3, 4, 5])
+
+    def test_tree_global_norm(self):
+        tree = {"a": jnp.asarray([3.0]), "b": jnp.asarray([4.0])}
+        np.testing.assert_allclose(float(tree_global_norm(tree)), 5.0)
+
+
+class TestPRNG:
+    def test_host_fold_distinct(self):
+        k = jax.random.key(0)
+        a = jax.random.normal(host_fold(k, 0), (4,))
+        b = jax.random.normal(host_fold(k, 1), (4,))
+        assert np.abs(np.asarray(a) - np.asarray(b)).max() > 1e-3
+
+    def test_per_device_keys_distinct(self):
+        keys = per_device_keys(jax.random.key(1), 8)
+        draws = jax.vmap(lambda k: jax.random.normal(k, (2,)))(keys)
+        assert len(np.unique(np.asarray(draws).round(4))) > 8
+
+    def test_sharded_batch_math_matches_single_device(self, mesh):
+        """The data-parallel loss mean must equal the single-device value."""
+        x = jnp.arange(32.0).reshape(16, 2)
+        w = jnp.asarray([[1.0], [2.0]])
+
+        def loss(w, x):
+            return jnp.mean((x @ w) ** 2)
+
+        g_single = jax.grad(loss)(w, x)
+        xs = jax.device_put(x, data_sharding(mesh, 2))
+        wr = jax.device_put(w, NamedSharding(mesh, P()))
+        g_sharded = jax.jit(jax.grad(loss))(wr, xs)
+        np.testing.assert_allclose(
+            np.asarray(g_sharded), np.asarray(g_single), rtol=1e-6
+        )
