@@ -241,6 +241,7 @@ class SpatialTransformer(nn.Module):
     heads: int
     head_dim: int
     lora_rank: int = 0
+    groups: int = 32
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
 
@@ -248,7 +249,7 @@ class SpatialTransformer(nn.Module):
     def __call__(self, x, context, lora_scale=1.0):
         b, h, w, c = x.shape
         residual = x
-        x = GroupNorm(32, eps=1e-6, param_dtype=self.param_dtype, name="norm")(x)
+        x = GroupNorm(self.groups, eps=1e-6, param_dtype=self.param_dtype, name="norm")(x)
         x = x.reshape(b, h * w, c)
         x = nn.Dense(c, dtype=self.dtype, param_dtype=self.param_dtype, name="proj_in")(x)
         for i in range(self.depth):

@@ -44,9 +44,17 @@ class UNetConfig:
     block_out_channels: Tuple[int, ...] = (320, 640, 1280)
     # attention depth per level; 0 = plain (no-attention) block
     transformer_layers: Tuple[int, ...] = (0, 2, 10)
+    # mid-block attention depth; None = transformer_layers[-1] (SDXL);
+    # SD1.x has an attention-free last level but an attending mid block
+    mid_transformer_layers: int | None = None
     layers_per_block: int = 2
     head_dim: int = 64
+    # SD1.x convention: fixed head COUNT with varying head_dim (ch/heads);
+    # None = fixed head_dim (SDXL convention)
+    fixed_num_heads: int | None = None
     cross_attention_dim: int = 2048
+    # SDXL "text_time" micro-conditioning; False = SD1.x (no add embeds)
+    use_text_time: bool = True
     addition_time_embed_dim: int = 256
     # pooled text-embedding width feeding the text_time embedding
     pooled_embed_dim: int = 1280
@@ -55,6 +63,11 @@ class UNetConfig:
     lora_rank: int = 0
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.float32
+
+    def heads_for(self, channels: int) -> tuple[int, int]:
+        if self.fixed_num_heads is not None:
+            return self.fixed_num_heads, channels // self.fixed_num_heads
+        return channels // self.head_dim, self.head_dim
 
     @property
     def time_embed_dim(self) -> int:
@@ -68,6 +81,22 @@ class UNetConfig:
     def sdxl(lora_rank: int = 0, dtype=jnp.bfloat16) -> "UNetConfig":
         """Full SDXL (Turbo / DMD2 share this architecture; 2.6B params)."""
         return UNetConfig(lora_rank=lora_rank, dtype=dtype)
+
+    @staticmethod
+    def sd15(lora_rank: int = 0, dtype=jnp.bfloat16) -> "UNetConfig":
+        """SD1.x family (the reference's legacy D3PO/DDPO pipeline path):
+        4 levels, single-depth transformers, 8 fixed heads, 768 cross dim,
+        no micro-conditioning (~860M params)."""
+        return UNetConfig(
+            block_out_channels=(320, 640, 1280, 1280),
+            transformer_layers=(1, 1, 1, 0),
+            fixed_num_heads=8,
+            cross_attention_dim=768,
+            mid_transformer_layers=1,
+            use_text_time=False,
+            lora_rank=lora_rank,
+            dtype=dtype,
+        )
 
     @staticmethod
     def tiny(lora_rank: int = 0, dtype=jnp.float32) -> "UNetConfig":
@@ -95,8 +124,8 @@ class SDXLUNet(nn.Module):
         sample: jnp.ndarray,  # (B, H, W, C) latents (already input-scaled)
         timesteps: jnp.ndarray,  # (B,) int/float
         encoder_hidden_states: jnp.ndarray,  # (B, 77*?, cross_attention_dim)
-        pooled_text_embeds: jnp.ndarray,  # (B, pooled_embed_dim)
-        add_time_ids: jnp.ndarray,  # (B, num_time_ids)
+        pooled_text_embeds: jnp.ndarray | None = None,  # (B, pooled_embed_dim)
+        add_time_ids: jnp.ndarray | None = None,  # (B, num_time_ids)
         lora_scale: jnp.ndarray | float = 1.0,
     ) -> jnp.ndarray:
         cfg = self.config
@@ -108,29 +137,36 @@ class SDXLUNet(nn.Module):
         temb = TimestepEmbedMLP(cfg.time_embed_dim, dtype=dt, param_dtype=pdt, name="time_embedding")(
             t_emb.astype(dt)
         )
-        ids_emb = timestep_embedding(
-            add_time_ids.reshape(-1), cfg.addition_time_embed_dim
-        ).reshape(add_time_ids.shape[0], -1)
-        add_embeds = jnp.concatenate(
-            [pooled_text_embeds.astype(jnp.float32), ids_emb], axis=-1
-        )
-        temb = temb + TimestepEmbedMLP(
-            cfg.time_embed_dim, dtype=dt, param_dtype=pdt, name="add_embedding"
-        )(add_embeds.astype(dt))
+        if cfg.use_text_time:
+            if pooled_text_embeds is None or add_time_ids is None:
+                raise ValueError("text_time conditioning needs pooled + time_ids")
+            ids_emb = timestep_embedding(
+                add_time_ids.reshape(-1), cfg.addition_time_embed_dim
+            ).reshape(add_time_ids.shape[0], -1)
+            add_embeds = jnp.concatenate(
+                [pooled_text_embeds.astype(jnp.float32), ids_emb], axis=-1
+            )
+            temb = temb + TimestepEmbedMLP(
+                cfg.time_embed_dim, dtype=dt, param_dtype=pdt, name="add_embedding"
+            )(add_embeds.astype(dt))
 
         context = encoder_hidden_states.astype(dt)
         resnet = lambda ch, name: ResnetBlock(
             ch, groups=cfg.norm_groups, dtype=dt, param_dtype=pdt, name=name
         )
-        transformer = lambda depth, ch, name: SpatialTransformer(
-            depth=depth,
-            heads=ch // cfg.head_dim,
-            head_dim=cfg.head_dim,
-            lora_rank=cfg.lora_rank,
-            dtype=dt,
-            param_dtype=pdt,
-            name=name,
-        )
+
+        def transformer(depth, ch, name):
+            heads, head_dim = cfg.heads_for(ch)
+            return SpatialTransformer(
+                depth=depth,
+                heads=heads,
+                head_dim=head_dim,
+                lora_rank=cfg.lora_rank,
+                groups=cfg.norm_groups,
+                dtype=dt,
+                param_dtype=pdt,
+                name=name,
+            )
 
         # --- down ---
         h = nn.Conv(
@@ -153,7 +189,11 @@ class SDXLUNet(nn.Module):
 
         # --- mid ---
         mid_ch = cfg.block_out_channels[-1]
-        mid_depth = cfg.transformer_layers[-1]
+        mid_depth = (
+            cfg.mid_transformer_layers
+            if cfg.mid_transformer_layers is not None
+            else cfg.transformer_layers[-1]
+        )
         h = resnet(mid_ch, "mid_resnet_0")(h, temb)
         if mid_depth:
             h = transformer(mid_depth, mid_ch, "mid_attn")(h, context, lora_scale)

@@ -22,6 +22,7 @@ from typing import Callable, NamedTuple
 import jax
 import jax.numpy as jnp
 
+from ..ops.ddim import ddim_step_with_logprob
 from ..ops.ddpm_renoise import distilled_step_with_logprob, x0_from_eps
 from ..ops.euler_ancestral import scale_model_input, turbo_step_with_logprob
 from ..ops.schedules import EulerAncestralSchedule
@@ -122,6 +123,50 @@ def sample_dmd_trajectories(
     latents = jnp.concatenate([xs, x_last[None]], axis=0)  # x_0 .. x_{S-1}
     return Trajectory(
         final_latents=pred_x0,
+        latents=latents,
+        input_latents=latents[:-1],
+        log_probs=logprobs,
+    )
+
+
+def sample_ddim_cfg_trajectories(
+    eps_cfg_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
+    alphas_cumprod: jnp.ndarray,
+    timesteps: jnp.ndarray,  # (S,) int32 descending
+    init_latents: jnp.ndarray,
+    key: jax.Array,
+    eta: float = 1.0,
+) -> Trajectory:
+    """DDIM rollout with logprobs (SD1.x D3PO/DDPO heritage path; reference
+    ``pipeline_with_logprob.py``). ``eps_cfg_fn`` is the CFG-combined
+    epsilon prediction (the caller mixes cond/uncond); every step is
+    stochastic (eta-scaled), so all S transitions carry logprobs.
+    """
+    num_steps = int(timesteps.shape[0])
+    batch = init_latents.shape[0]
+    x0 = init_latents.astype(jnp.float32)
+    step_keys = jax.random.split(key, num_steps)
+    # prev timestep for the final step goes negative -> final_alpha_cumprod
+    prev_ts = jnp.concatenate([timesteps[1:], jnp.asarray([-1], timesteps.dtype)])
+
+    def body(x, scan_in):
+        i, k = scan_in
+        t = jnp.full((batch,), timesteps[i], jnp.int32)
+        tp = jnp.full((batch,), prev_ts[i], jnp.int32)
+        eps = eps_cfg_fn(x, t)
+        x_next, logprob = ddim_step_with_logprob(
+            alphas_cumprod, eps, t, tp, x, key=k, eta=eta
+        )
+        return x_next, (x, logprob)
+
+    final, (xs, logprobs) = jax.lax.scan(
+        body, x0, (jnp.arange(num_steps), step_keys)
+    )
+    # S+1 states: current = latents[:-1] (S), next = latents[1:] (S) — all
+    # S transitions are stochastic and trained, unlike the distilled paths
+    latents = jnp.concatenate([xs, final[None]], axis=0)
+    return Trajectory(
+        final_latents=final,
         latents=latents,
         input_latents=latents[:-1],
         log_probs=logprobs,
