@@ -48,7 +48,7 @@ def parse_args(argv=None):
     p.add_argument(
         "--scorers",
         default="pickscore,clip,aesthetic",
-        help="comma list: pickscore,clip,aesthetic,imagereward",
+        help="comma list: pickscore,clip,aesthetic,imagereward,hps",
     )
     p.add_argument("--output_json", default="")
     p.add_argument("--tiny", action="store_true", help="toy models (smoke/CI)")
@@ -120,6 +120,12 @@ def main(argv=None):
         )
     if "clip" in wanted:
         scorers["clip"] = CLIPScorer(
+            text_config=sc_text, vision_config=sc_vision, **sc_kwargs
+        )
+    if "hps" in wanted:
+        from ..rewards import HPSScorer
+
+        scorers["hps"] = HPSScorer(
             text_config=sc_text, vision_config=sc_vision, **sc_kwargs
         )
     if "aesthetic" in wanted:
