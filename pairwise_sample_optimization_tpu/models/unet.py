@@ -61,6 +61,10 @@ class UNetConfig:
     num_time_ids: int = 6
     norm_groups: int = 32
     lora_rank: int = 0
+    # rematerialize resnet/transformer blocks in the backward pass (the
+    # reference's enable_gradient_checkpointing, ref ``:358``) — trades
+    # FLOPs for activation memory; essential for 1024^2 training
+    remat: bool = False
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.float32
 
@@ -151,13 +155,19 @@ class SDXLUNet(nn.Module):
             )(add_embeds.astype(dt))
 
         context = encoder_hidden_states.astype(dt)
-        resnet = lambda ch, name: ResnetBlock(
+        ResnetCls = nn.remat(ResnetBlock) if cfg.remat else ResnetBlock
+        TransformerCls = (
+            nn.remat(SpatialTransformer, static_argnums=())
+            if cfg.remat
+            else SpatialTransformer
+        )
+        resnet = lambda ch, name: ResnetCls(
             ch, groups=cfg.norm_groups, dtype=dt, param_dtype=pdt, name=name
         )
 
         def transformer(depth, ch, name):
             heads, head_dim = cfg.heads_for(ch)
-            return SpatialTransformer(
+            return TransformerCls(
                 depth=depth,
                 heads=heads,
                 head_dim=head_dim,
