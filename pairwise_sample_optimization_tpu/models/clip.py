@@ -35,6 +35,9 @@ class CLIPTextConfig:
     max_positions: int = 77
     act: str = "quick_gelu"  # or "gelu"
     projection_dim: Optional[int] = None  # None = no text_projection
+    # LoRA on the attention q/k/v/out projections (the DreamBooth
+    # --train_text_encoder option, reference ``:1206-1339``)
+    lora_rank: int = 0
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.float32
 
@@ -112,22 +115,33 @@ class CLIPEncoderLayer(nn.Module):
     act: str
     dtype: jnp.dtype
     param_dtype: jnp.dtype
+    lora_rank: int = 0
 
     @nn.compact
-    def __call__(self, x, causal: bool):
+    def __call__(self, x, causal: bool, lora_scale=1.0):
+        from .layers import LoRADense
+
         dense = lambda feat, name: nn.Dense(
             feat, dtype=self.dtype, param_dtype=self.param_dtype, name=name
+        )
+        attn_dense = lambda name: LoRADense(
+            self.width,
+            use_bias=True,
+            lora_rank=self.lora_rank,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name=name,
         )
         ln = lambda name: nn.LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype, name=name)
         head_dim = self.width // self.heads
 
         h = ln("norm1")(x)
         b, s, _ = h.shape
-        q = dense(self.width, "q_proj")(h).reshape(b, s, self.heads, head_dim)
-        k = dense(self.width, "k_proj")(h).reshape(b, s, self.heads, head_dim)
-        v = dense(self.width, "v_proj")(h).reshape(b, s, self.heads, head_dim)
+        q = attn_dense("q_proj")(h, lora_scale).reshape(b, s, self.heads, head_dim)
+        k = attn_dense("k_proj")(h, lora_scale).reshape(b, s, self.heads, head_dim)
+        v = attn_dense("v_proj")(h, lora_scale).reshape(b, s, self.heads, head_dim)
         o = dot_product_attention(q, k, v, causal=causal).reshape(b, s, self.width)
-        x = x + dense(self.width, "out_proj")(o)
+        x = x + attn_dense("out_proj")(o, lora_scale)
 
         h = ln("norm2")(x)
         h = dense(self.width * 4, "fc1")(h)
@@ -146,7 +160,7 @@ class CLIPTextTower(nn.Module):
     config: CLIPTextConfig
 
     @nn.compact
-    def __call__(self, input_ids: jnp.ndarray):
+    def __call__(self, input_ids: jnp.ndarray, lora_scale=1.0):
         cfg = self.config
         b, s = input_ids.shape
         tok = nn.Embed(
@@ -165,8 +179,8 @@ class CLIPTextTower(nn.Module):
         for i in range(cfg.layers):
             x = CLIPEncoderLayer(
                 cfg.width, cfg.heads, cfg.act, cfg.dtype, cfg.param_dtype,
-                name=f"layer_{i}",
-            )(x, causal=True)
+                lora_rank=cfg.lora_rank, name=f"layer_{i}",
+            )(x, causal=True, lora_scale=lora_scale)
             hiddens.append(x)
 
         final = nn.LayerNorm(
