@@ -28,7 +28,7 @@ import jax.numpy as jnp
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-BATCH = 4  # prompt pairs per step (reference sample.batch_size)
+BATCH = int(os.environ.get("PSO_BENCH_BATCH", "8"))  # prompt pairs per step
 RESOLUTION = 512
 NUM_STEPS = 1
 A100_BASELINE_PAIRS_PER_S = 12.0

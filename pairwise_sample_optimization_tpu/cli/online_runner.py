@@ -60,6 +60,10 @@ def build_tokenizers(config, vocab_size: int = 49408):
 
 def run_online_pso(config, sampler: str, num_epochs: Optional[int] = None):
     """Returns the final (state, metrics_history) — importable for tests."""
+    from ..parallel.multihost import maybe_initialize_distributed
+
+    maybe_initialize_distributed()
+
     # ---- kernels config ----
     from ..ops import attention as attention_ops
     from ..ops import group_norm as gn_ops

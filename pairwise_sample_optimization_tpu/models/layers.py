@@ -336,7 +336,10 @@ class Upsample(nn.Module):
     @nn.compact
     def __call__(self, x):
         b, h, w, c = x.shape
-        x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
+        # nearest-2x via broadcast+reshape: pure layout movement; XLA lowers
+        # jax.image.resize(nearest) to a gather, which is slow on TPU
+        x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
+        x = x.reshape(b, h * 2, w * 2, c)
         return nn.Conv(
             self.channels,
             (3, 3),

@@ -1,0 +1,40 @@
+"""Multi-host bring-up: jax.distributed over DCN.
+
+The reference scales by ``accelerate launch`` spawning one NCCL process
+per GPU; the TPU equivalent is one process per host with
+``jax.distributed.initialize`` (chips-per-host handled by the runtime,
+cross-host collectives ride DCN). On single-host (or under the CPU test
+platform) this is a no-op.
+
+Env contract (standard JAX cluster envs are auto-detected on Cloud TPU;
+the explicit ones below cover bare-metal/manual launches):
+  PSO_COORDINATOR  host:port of process 0
+  PSO_NUM_PROCESSES / PSO_PROCESS_ID
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+
+_initialized = False
+
+
+def maybe_initialize_distributed() -> bool:
+    """Idempotently initialize jax.distributed when configured. Returns
+    True if a multi-process runtime is (now) active."""
+    global _initialized
+    if _initialized or jax.process_count() > 1:
+        _initialized = True
+        return True
+    coord = os.environ.get("PSO_COORDINATOR")
+    if not coord:
+        return False
+    jax.distributed.initialize(
+        coordinator_address=coord,
+        num_processes=int(os.environ["PSO_NUM_PROCESSES"]),
+        process_id=int(os.environ["PSO_PROCESS_ID"]),
+    )
+    _initialized = True
+    return True

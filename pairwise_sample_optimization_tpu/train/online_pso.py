@@ -53,6 +53,13 @@ class OnlinePSOConfig:
     shared_noise: bool = True  # dmd-only quirk flag
     num_train_timesteps: int | None = None  # default: num_steps - 1
 
+    def __post_init__(self):
+        if self.num_steps < 2:
+            raise ValueError(
+                "online PSO needs >= 2 sampling steps (the single step of a "
+                "1-step sampler is deterministic — nothing stochastic to train)"
+            )
+
     @property
     def train_timesteps(self) -> int:
         return self.num_train_timesteps or (self.num_steps - 1)
