@@ -80,6 +80,10 @@ def run_online_pso(config, sampler: str, num_epochs: Optional[int] = None):
     # ---- models ----
     rank = config.train.lora_rank if config.use_lora else 0
     tiny = bool(config.get("tiny_model", False))
+    param_dtype = (
+        jnp.bfloat16 if config.get("param_dtype", "float32") == "bfloat16" else None
+    )
+    remat = bool(config.get("activation_checkpoint", True))
     if config.pretrained.model_dir:
         pipe = SDXLPipeline.from_torch_dir(
             config.pretrained.model_dir,
@@ -93,11 +97,22 @@ def run_online_pso(config, sampler: str, num_epochs: Optional[int] = None):
         pipe = SDXLPipeline.random(
             lora_rank=rank, dtype=dtype, resolution=resolution,
             bpe_path=config.pretrained.bpe_path, tiny=tiny,
+            param_dtype=param_dtype, remat=remat,
+            fast_init=bool(config.get("fast_init", False)),
         )
 
+    sc_kwargs = (
+        {}
+        if tiny
+        else {
+            "param_dtype": param_dtype,
+            "fast_init": bool(config.get("fast_init", False)),
+        }
+    )
     scorer = PickScoreScorer(
         text_config=CLIPTextConfig.tiny() if tiny else CLIPTextConfig.vit_h14(dtype=dtype),
         vision_config=CLIPVisionConfig.tiny() if tiny else CLIPVisionConfig.vit_h14(dtype=dtype),
+        **sc_kwargs,
     )
     if config.pretrained.pickscore_dir:
         # PickScore ships as one HF CLIPModel state dict
@@ -175,6 +190,7 @@ def run_online_pso(config, sampler: str, num_epochs: Optional[int] = None):
     clip_scorer = CLIPScorer(
         text_config=CLIPTextConfig.tiny() if tiny else CLIPTextConfig.vit_h14(dtype=dtype),
         vision_config=CLIPVisionConfig.tiny() if tiny else CLIPVisionConfig.vit_h14(dtype=dtype),
+        **sc_kwargs,
     )
     val_dataset = PromptDataset(
         config.val_dataset if os.path.exists(str(config.val_dataset)) else None
@@ -227,9 +243,14 @@ def run_online_pso(config, sampler: str, num_epochs: Optional[int] = None):
     history = []
     root_key = jax.random.fold_in(jax.random.key(config.seed), jax.process_index())
 
+    from ..utils.timers import profile_to
+
     epochs = num_epochs if num_epochs is not None else config.num_epochs
     global_step = int(state.step)
+    profile_dir = config.get("profile_dir", "")
     for epoch in range(epochs):
+        trace_cm = profile_to(profile_dir if epoch == 1 else None)
+        trace_cm.__enter__()
         ekey = jax.random.fold_in(root_key, epoch)
         # ---------------- sampling ----------------
         all_samples, all_cond = [], []
@@ -299,6 +320,7 @@ def run_online_pso(config, sampler: str, num_epochs: Optional[int] = None):
                     )
                     logger.info("saved state to %s", path)
         timer.reset()
+        trace_cm.__exit__(None, None, None)
 
     metrics_logger.close()
     return state, history

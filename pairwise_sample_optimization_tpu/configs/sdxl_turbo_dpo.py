@@ -21,8 +21,17 @@ def get_config():
     config.num_checkpoint_limit = 10
     # compute dtype for frozen towers; LoRA + optimizer state stay fp32
     config.mixed_precision = "bf16"  # "bf16" | "no"
+    # storage dtype for frozen tower weights ("bfloat16" to fit a 16GB
+    # chip; LoRA masters stay fp32 regardless)
+    config.param_dtype = "float32"
+    # rematerialize UNet blocks in backward (ref gradient checkpointing)
+    config.activation_checkpoint = True
     # toy 2-level models end-to-end (CI smoke / CPU bringup)
     config.tiny_model = False
+    # zero-fill random weights from eval_shape (fast bringup/throughput runs)
+    config.fast_init = False
+    # capture a jax.profiler device trace of epoch 0 into this dir
+    config.profile_dir = ""
     config.resume_from = ""  # run dir or exact checkpoint-### dir (wired!)
     config.use_lora = True
     config.use_wandb = False

@@ -42,6 +42,9 @@ class LoRADense(nn.Module):
     lora_alpha: Optional[int] = None  # defaults to rank (ref: alpha == rank)
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
+    # LoRA master params stay fp32 even when frozen weights are stored
+    # bf16 (they are the optimizer's parameters)
+    lora_param_dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, lora_scale: jnp.ndarray | float = 1.0):
@@ -66,10 +69,12 @@ class LoRADense(nn.Module):
             a_init = nn.initializers.normal(stddev=1.0 / r)
             rng = self.make_rng("params") if self.is_initializing() else None
             a = self.variable(
-                "lora", "a", lambda: a_init(rng, (in_features, r), self.param_dtype)
+                "lora", "a",
+                lambda: a_init(rng, (in_features, r), self.lora_param_dtype),
             ).value
             b = self.variable(
-                "lora", "b", lambda: jnp.zeros((r, self.features), self.param_dtype)
+                "lora", "b",
+                lambda: jnp.zeros((r, self.features), self.lora_param_dtype),
             ).value
             scaling = alpha / r
             delta = (x @ a.astype(self.dtype)) @ b.astype(self.dtype)

@@ -64,12 +64,12 @@ class PickScoreScorer:
 
     def _text_features_v(self, variables, input_ids):
         t = self.model.apply(variables, input_ids, method=self.model.text_features)
-        return t / jnp.linalg.norm(t, axis=-1, keepdims=True)
+        return t / jnp.maximum(jnp.linalg.norm(t, axis=-1, keepdims=True), 1e-6)
 
     def _image_features_v(self, variables, images):
         pixels = clip_preprocess(images, self.vision_config.image_size)
         f = self.model.apply(variables, pixels, method=self.model.image_features)
-        return f / jnp.linalg.norm(f, axis=-1, keepdims=True)
+        return f / jnp.maximum(jnp.linalg.norm(f, axis=-1, keepdims=True), 1e-6)
 
     # inlineable (non-jit) versions for callers composing larger programs
     def _text_features_impl(self, input_ids):
