@@ -35,6 +35,9 @@ A100_BASELINE_PAIRS_PER_S = 12.0
 
 
 def main():
+    from pairwise_sample_optimization_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     from pairwise_sample_optimization_tpu.models.clip import (
         CLIPTextConfig,
         CLIPVisionConfig,

@@ -58,6 +58,9 @@ def parse_args(argv=None):
 
 def main(argv=None):
     args = parse_args(argv)
+    from ..utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
 
     # ---- prompts, sharded round-robin with pad math (ref :216-224) ----
     dataset = PromptDataset(args.prompts_json)

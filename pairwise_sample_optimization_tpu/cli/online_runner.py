@@ -61,8 +61,10 @@ def build_tokenizers(config, vocab_size: int = 49408):
 def run_online_pso(config, sampler: str, num_epochs: Optional[int] = None):
     """Returns the final (state, metrics_history) — importable for tests."""
     from ..parallel.multihost import maybe_initialize_distributed
+    from ..utils.cache import enable_compilation_cache
 
     maybe_initialize_distributed()
+    enable_compilation_cache()
 
     # ---- kernels config ----
     from ..ops import attention as attention_ops

@@ -72,6 +72,9 @@ def parse_args(argv=None):
 def main(argv=None):
     args = parse_args(argv)
     os.makedirs(args.output_dir, exist_ok=True)
+    from ..utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
 
     # ---- pipeline ----
     if args.pretrained_model_dir:

@@ -1,4 +1,11 @@
 from .logging import MetricLogger, get_logger
 from .timers import PhaseTimer, trace_annotation
+from .cache import enable_compilation_cache
 
-__all__ = ["MetricLogger", "get_logger", "PhaseTimer", "trace_annotation"]
+__all__ = [
+    "MetricLogger",
+    "get_logger",
+    "PhaseTimer",
+    "trace_annotation",
+    "enable_compilation_cache",
+]
