@@ -99,6 +99,7 @@ class CLIPTokenizer:
         context_length: int = 77,
         pad_token_id: int | None = None,  # None -> eot (HF convention)
         merges: Sequence[str] | None = None,
+        use_native: bool = True,
     ):
         if merges is None:
             if not bpe_path or not os.path.exists(bpe_path):
@@ -132,6 +133,26 @@ class CLIPTokenizer:
         self.eot = self.encoder[self.eot_text]
         self.pad_token_id = self.eot if pad_token_id is None else pad_token_id
         self.vocab_size = len(self.encoder)
+
+        # native C++ merge engine (exact-parity ids); python fallback
+        self._native = None
+        if use_native:
+            try:
+                from ..native.build import load_bpe_library
+
+                lib = load_bpe_library()
+                if lib is not None:
+                    import ctypes
+
+                    blob = "\n".join(" ".join(m) for m in merges).encode("utf-8")
+                    handle = lib.pso_tok_create(blob, len(blob))
+                    if lib.pso_tok_vocab_size(handle) == self.vocab_size:
+                        self._native = (lib, handle)
+                        self._native_buf = (ctypes.c_int32 * 512)()
+                    else:  # defensive: never serve mismatched ids
+                        lib.pso_tok_destroy(handle)
+            except Exception:
+                self._native = None
 
     # ------------------------------------------------------------------ #
 
@@ -173,7 +194,21 @@ class CLIPTokenizer:
 
     def encode(self, text: str) -> List[int]:
         """Raw BPE ids without special tokens or padding."""
-        ids: List[int] = []
+        if self._native is not None:
+            lib, handle = self._native
+            ids: List[int] = []
+            for token in _TOKEN_PATTERN.findall(_clean(text)):
+                raw = token.encode("utf-8")
+                n = lib.pso_tok_encode_word(
+                    handle, raw, len(raw), self._native_buf, 512
+                )
+                if n < 0:  # oversized/unexpected word: python fallback
+                    mapped = "".join(self.byte_encoder[b] for b in raw)
+                    ids.extend(self.encoder[t] for t in self._bpe(mapped).split(" "))
+                else:
+                    ids.extend(self._native_buf[:n])
+            return ids
+        ids = []
         for token in _TOKEN_PATTERN.findall(_clean(text)):
             token_bytes = "".join(self.byte_encoder[b] for b in token.encode("utf-8"))
             ids.extend(self.encoder[t] for t in self._bpe(token_bytes).split(" "))
