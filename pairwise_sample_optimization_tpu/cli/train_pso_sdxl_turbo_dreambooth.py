@@ -24,7 +24,7 @@ import numpy as np
 
 from ..checkpoints import export_lora_safetensors, save_train_state
 from ..data import CLIPTokenizer, HashTokenizer
-from ..data.dreambooth import DreamBoothDataset, NegativePool
+from ..data.dreambooth import DreamBoothDataset
 from ..pipeline import SDXLPipeline
 from ..train import PSOTrainState, make_optimizer
 from ..train.dreambooth_pso import DreamBoothPSOConfig, DreamBoothPSOTrainer
