@@ -278,6 +278,7 @@ def run_online_pso(config, sampler: str, num_epochs: Optional[int] = None):
                 )
                 if b_idx + 1 == config.sample.num_batches_per_epoch:
                     break
+            jax.block_until_ready(all_samples[-1]["log_probs"])
 
         samples = jax.tree.map(lambda *xs: jnp.concatenate(xs, 0), *all_samples)
         cond = jax.tree.map(lambda *xs: jnp.concatenate(xs, 0), *all_cond)
@@ -301,6 +302,7 @@ def run_online_pso(config, sampler: str, num_epochs: Optional[int] = None):
                 cond,
                 jax.random.fold_in(ekey, 1 << 20),
             )
+            jax.block_until_ready(state.lora)
         for m in step_metrics:
             global_step += 1
             metrics_logger.log_metrics({**m, **timer.summary()}, global_step)

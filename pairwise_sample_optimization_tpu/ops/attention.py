@@ -18,11 +18,24 @@ import jax.numpy as jnp
 Impl = Literal["xla", "pallas", "naive"]
 
 _DEFAULT_IMPL: Impl = "xla"
+# XLA's fused attention materializes the (B,H,Sq,Skv) logits; beyond this
+# many bytes (fp32) route to the tiled Pallas kernel instead — at 1024^2
+# the 16384-token self/VAE attentions would otherwise OOM a 16GB chip
+_PALLAS_LOGITS_BYTES = 1 << 30
 
 
 def set_default_impl(impl: Impl) -> None:
     global _DEFAULT_IMPL
     _DEFAULT_IMPL = impl
+
+
+def _on_tpu() -> bool:
+    import jax as _jax
+
+    try:
+        return _jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        return False
 
 
 def dot_product_attention(
@@ -35,6 +48,10 @@ def dot_product_attention(
 ) -> jnp.ndarray:
     """(B, S, H, D) attention; fp32 softmax accumulation."""
     impl = impl or _DEFAULT_IMPL
+    if impl == "xla" and not causal and _on_tpu():
+        logits_bytes = 4 * q.shape[0] * q.shape[2] * q.shape[1] * k.shape[1]
+        if logits_bytes >= _PALLAS_LOGITS_BYTES:
+            impl = "pallas"
     if impl == "pallas":
         from .flash_attention import flash_attention
 
