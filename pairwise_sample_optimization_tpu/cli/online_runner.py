@@ -102,6 +102,7 @@ def run_online_pso(config, sampler: str, num_epochs: Optional[int] = None):
             param_dtype=param_dtype, remat=remat,
             fast_init=bool(config.get("fast_init", False)),
         )
+    pipe.decode_chunk = int(config.get("vae_decode_chunk", 0))
 
     sc_kwargs = (
         {}

@@ -16,4 +16,8 @@ def get_config():
     config.train.gradient_accumulation_steps = 2
     # DMD2 quirk parity: transition noise shared across the batch
     config.sample.shared_noise = True
+    # 1024^2 memory: tiled GN (size-gated) + chunked VAE decode keep the
+    # decoder's activation peak inside 16GB
+    config.kernels.fused_groupnorm = True
+    config.vae_decode_chunk = 2
     return config

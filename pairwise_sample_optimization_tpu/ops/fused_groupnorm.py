@@ -99,6 +99,10 @@ def _norm_kernel(x_ref, stats_ref, scale_ref, bias_ref, o_ref, *, num_groups, ep
     o_ref[0] = (y * jax.nn.sigmoid(y)).astype(o_ref.dtype)
 
 
+import functools as _functools
+
+
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def fused_groupnorm_silu(
     x: jnp.ndarray,
     scale: jnp.ndarray,
@@ -106,7 +110,16 @@ def fused_groupnorm_silu(
     num_groups: int,
     eps: float = 1e-5,
 ) -> jnp.ndarray:
-    """x (B, H, W, C) -> silu(groupnorm(x) * scale + bias)."""
+    """x (B, H, W, C) -> silu(groupnorm(x) * scale + bias).
+
+    Differentiable: forward runs the tiled Pallas kernels; backward
+    recomputes through the jnp reference implementation (identical math;
+    training-scale activations fit XLA's fp32 temps comfortably).
+    """
+    return _fused_groupnorm_silu_fwd_only(x, scale, bias, num_groups, eps)
+
+
+def _fused_groupnorm_silu_fwd_only(x, scale, bias, num_groups, eps):
     b, h, w, c = x.shape
     rows = h * w
     assert c % num_groups == 0 and num_groups <= _STAT_LANES
@@ -149,3 +162,39 @@ def fused_groupnorm_silu(
         interpret=_INTERPRET,
     )(xr, stats, scale2, bias2)
     return out.reshape(b, h, w, c)
+
+
+def _reference_gn_silu(x, scale, bias, num_groups, eps):
+    from .group_norm import group_norm, _USE_PALLAS  # noqa: F401
+
+    # call the pure-jnp path directly (avoid dispatch recursion)
+    from . import group_norm as _gn_mod
+
+    saved = _gn_mod._USE_PALLAS
+    _gn_mod._USE_PALLAS = False
+    try:
+        return group_norm(x, scale, bias, num_groups, eps, act="silu")
+    finally:
+        _gn_mod._USE_PALLAS = saved
+
+
+def _fgs_fwd(x, scale, bias, num_groups, eps):
+    return _fused_groupnorm_silu_fwd_only(x, scale, bias, num_groups, eps), (
+        x,
+        scale,
+        bias,
+    )
+
+
+def _fgs_bwd(num_groups, eps, residuals, g):
+    x, scale, bias = residuals
+    _, vjp = jax.vjp(
+        lambda x_, s_, b_: _reference_gn_silu(x_, s_, b_, num_groups, eps),
+        x,
+        scale,
+        bias,
+    )
+    return vjp(g)
+
+
+fused_groupnorm_silu.defvjp(_fgs_fwd, _fgs_bwd)

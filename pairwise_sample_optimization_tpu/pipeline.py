@@ -61,6 +61,9 @@ class SDXLPipeline:
     tokenizer_one: Optional[CLIPTokenizer] = None
     tokenizer_two: Optional[CLIPTokenizer] = None
     resolution: int = 512
+    # decode this many images at a time (0 = whole batch); bounds the VAE
+    # decoder's activation peak at 1024^2
+    decode_chunk: int = 0
 
     @property
     def latent_downscale(self) -> int:
@@ -243,6 +246,20 @@ class SDXLPipeline:
         return {"embeds": embeds, "pooled": pooled, "time_ids": time_ids}
 
     def decode(self, latents):
+        if self.decode_chunk and latents.shape[0] > self.decode_chunk:
+            assert latents.shape[0] % self.decode_chunk == 0, (
+                latents.shape[0], self.decode_chunk,
+            )
+            chunks = latents.reshape(
+                (-1, self.decode_chunk) + latents.shape[1:]
+            )
+            images = jax.lax.map(
+                lambda z: self.vae.apply(
+                    self.vae_variables, z, method=self.vae.decode
+                ),
+                chunks,
+            )
+            return images.reshape((-1,) + images.shape[2:])
         return self.vae.apply(self.vae_variables, latents, method=self.vae.decode)
 
     def generate(

@@ -60,6 +60,35 @@ def test_bf16():
     )
 
 
+def test_gradients_match_reference():
+    x = jax.random.normal(jax.random.key(6), (1, 8, 8, 64)) + 0.3
+    scale = jnp.ones((64,)) * 1.1
+    bias = jnp.full((64,), 0.05)
+    w = jax.random.normal(jax.random.key(7), x.shape)
+
+    gp = jax.grad(
+        lambda x, s, b: jnp.sum(fg.fused_groupnorm_silu(x, s, b, 8) * w),
+        argnums=(0, 1, 2),
+    )(x, scale, bias)
+    gr = jax.grad(
+        lambda x, s, b: jnp.sum(group_norm(x, s, b, 8, act="silu") * w),
+        argnums=(0, 1, 2),
+    )(x, scale, bias)
+    for a, b_ in zip(gp, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=1e-4, atol=1e-4)
+
+
+def test_chunked_decode_matches_full():
+    from pairwise_sample_optimization_tpu.pipeline import SDXLPipeline
+
+    pipe = SDXLPipeline.random(tiny=True, resolution=16, with_text_encoders=False)
+    z = jax.random.normal(jax.random.key(8), (4, 8, 8, 4))
+    full = pipe.decode(z)
+    pipe.decode_chunk = 2
+    chunked = pipe.decode(z)
+    np.testing.assert_allclose(np.asarray(full), np.asarray(chunked), rtol=1e-5, atol=1e-5)
+
+
 def test_dispatch_seam():
     from pairwise_sample_optimization_tpu.ops import group_norm as gn
 
