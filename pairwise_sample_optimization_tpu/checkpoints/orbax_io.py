@@ -40,6 +40,26 @@ def restore_train_state(path: str, abstract_state, abstract_extra: Optional[dict
     return out["state"], out["extra"]
 
 
+def prune_checkpoints(base_dir: str, keep: int) -> list[str]:
+    """Delete all but the newest ``keep`` checkpoint-### dirs (the
+    reference's ``num_checkpoint_limit``). Returns removed paths."""
+    import shutil
+
+    if keep <= 0 or not os.path.isdir(base_dir):
+        return []
+    steps = []
+    for name in os.listdir(base_dir):
+        m = re.fullmatch(r"checkpoint-(\d+)", name)
+        if m:
+            steps.append(int(m.group(1)))
+    removed = []
+    for step in sorted(steps)[:-keep]:
+        path = _ckpt_dir(base_dir, step)
+        shutil.rmtree(path, ignore_errors=True)
+        removed.append(path)
+    return removed
+
+
 def latest_checkpoint(base_dir: str) -> Optional[str]:
     """Newest ``checkpoint-<n>`` under ``base_dir`` (or the dir itself)."""
     if re.search(r"checkpoint-\d+$", base_dir.rstrip("/")):

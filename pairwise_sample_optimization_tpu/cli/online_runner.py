@@ -23,6 +23,7 @@ from ..checkpoints import (
     restore_train_state,
     save_train_state,
 )
+from ..checkpoints.orbax_io import prune_checkpoints
 from ..data import CLIPTokenizer, HashTokenizer, PromptDataset, PromptLoader
 from ..models.clip import CLIPTextConfig, CLIPVisionConfig
 from ..parallel.mesh import MeshSpec, make_mesh
@@ -323,6 +324,7 @@ def run_online_pso(config, sampler: str, num_epochs: Optional[int] = None):
                         state.lora,
                         os.path.join(lora_dir, "pytorch_lora_weights.safetensors"),
                     )
+                    prune_checkpoints(out_dir, int(config.num_checkpoint_limit))
                     logger.info("saved state to %s", path)
         timer.reset()
         trace_cm.__exit__(None, None, None)

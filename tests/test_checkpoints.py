@@ -175,6 +175,22 @@ class TestLoRAInterop:
 
 
 class TestOrbax:
+    def test_prune_checkpoints(self, tmp_path):
+        from pairwise_sample_optimization_tpu.checkpoints.orbax_io import (
+            prune_checkpoints,
+        )
+
+        cfg, variables = _unet_variables(lora_rank=2)
+        tx = make_optimizer()
+        state = PSOTrainState.create(variables["lora"], tx)
+        base = str(tmp_path / "run")
+        for step in (10, 20, 30, 40):
+            save_train_state(base, step, state)
+        removed = prune_checkpoints(base, keep=2)
+        assert len(removed) == 2
+        left = sorted(p for p in __import__("os").listdir(base) if p.startswith("checkpoint"))
+        assert left == ["checkpoint-30", "checkpoint-40"]
+
     def test_save_restore_latest(self, tmp_path):
         cfg, variables = _unet_variables(lora_rank=2)
         tx = make_optimizer()
