@@ -160,6 +160,7 @@ def run_online_pso(config, sampler: str, num_epochs: Optional[int] = None):
         weight_decay=config.train.adam_weight_decay,
         max_grad_norm=config.train.max_grad_norm,
         state_dtype=jnp.bfloat16 if config.train.optimizer_state_dtype == "bfloat16" else None,
+        use_8bit=bool(config.train.get("use_8bit_adam", False)),
     )
 
     def reward_fn(images, reward_cond):

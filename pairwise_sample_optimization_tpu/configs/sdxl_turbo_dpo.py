@@ -82,6 +82,8 @@ def get_config():
     train.eps = 0.1
     # bf16 Adam moments ~= the reference's 8-bit Adam memory saving
     train.optimizer_state_dtype = ""  # "" (fp32) | "bfloat16"
+    # block-quantized int8-moment AdamW (bitsandbytes AdamW8bit parity)
+    train.use_8bit_adam = False
 
     # ---- kernels ----
     config.kernels = kernels = ml_collections.ConfigDict()

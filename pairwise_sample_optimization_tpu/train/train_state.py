@@ -42,15 +42,26 @@ def make_optimizer(
     max_grad_norm: float = 1.0,
     state_dtype: jnp.dtype | None = None,
     schedule: optax.Schedule | None = None,
+    use_8bit: bool = False,
 ) -> optax.GradientTransformation:
-    """AdamW with global-norm clipping (reference hyperparameters)."""
+    """AdamW with global-norm clipping (reference hyperparameters).
+
+    ``use_8bit`` selects the block-quantized int8-moment AdamW
+    (bitsandbytes-AdamW8bit parity); ``state_dtype=bfloat16`` is the
+    lighter-touch alternative (bf16 first moment).
+    """
     lr = schedule if schedule is not None else learning_rate
-    adam = optax.adamw(
-        lr,
-        b1=beta1,
-        b2=beta2,
-        eps=eps,
-        weight_decay=weight_decay,
-        mu_dtype=state_dtype,
-    )
+    if use_8bit:
+        from .quantized_adam import adam8bit
+
+        adam = adam8bit(lr, b1=beta1, b2=beta2, eps=eps, weight_decay=weight_decay)
+    else:
+        adam = optax.adamw(
+            lr,
+            b1=beta1,
+            b2=beta2,
+            eps=eps,
+            weight_decay=weight_decay,
+            mu_dtype=state_dtype,
+        )
     return optax.chain(optax.clip_by_global_norm(max_grad_norm), adam)
