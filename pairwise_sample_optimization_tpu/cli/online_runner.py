@@ -151,6 +151,7 @@ def run_online_pso(config, sampler: str, num_epochs: Optional[int] = None):
         num_inner_epochs=config.train.num_inner_epochs,
         compare="sample" if sampler == "turbo" else "pareto",
         shared_noise=bool(config.sample.get("shared_noise", True)),
+        fuse_ref_pass=bool(config.train.get("fuse_ref_pass", True)),
     )
     tx = make_optimizer(
         learning_rate=config.train.learning_rate,

@@ -10,10 +10,13 @@ def get_config():
     config.sample.resolution = 1024
     config.sample.num_steps = 4  # launch script uses 8/7
     config.sample.batch_size = 2
-    config.train.batch_size = 2
+    # 16GB/chip: micro-batch 1 with more accumulation (the reference's
+    # bs2/GPU assumed 80GB A100s); DP over chips recovers global batch
+    config.train.batch_size = 1
     config.train.distilled_train_steps = 3
     config.train.lora_rank = 16
-    config.train.gradient_accumulation_steps = 2
+    config.train.gradient_accumulation_steps = 4
+    config.train.fuse_ref_pass = False
     # DMD2 quirk parity: transition noise shared across the batch
     config.sample.shared_noise = True
     # 1024^2 memory: tiled GN (size-gated) + chunked VAE decode keep the

@@ -84,6 +84,9 @@ def get_config():
     train.optimizer_state_dtype = ""  # "" (fp32) | "bfloat16"
     # block-quantized int8-moment AdamW (bitsandbytes AdamW8bit parity)
     train.use_8bit_adam = False
+    # fuse policy+reference passes into one 4x-batch apply (fastest);
+    # False halves backward activation memory (1024^2 on 16GB chips)
+    train.fuse_ref_pass = True
 
     # ---- kernels ----
     config.kernels = kernels = ml_collections.ConfigDict()

@@ -52,6 +52,10 @@ class OnlinePSOConfig:
     compare: str = "sample"  # "sample" | "pareto"
     shared_noise: bool = True  # dmd-only quirk flag
     num_train_timesteps: int | None = None  # default: num_steps - 1
+    # fuse the frozen-reference pass into the policy apply (4b batch, one
+    # MXU-saturating call). False halves backward activation memory (the
+    # ref half is grad-free) — needed at 1024^2 on 16GB chips.
+    fuse_ref_pass: bool = True
 
     def __post_init__(self):
         if self.num_steps < 2:
@@ -239,15 +243,27 @@ class OnlinePSOTrainer:
         t2 = jnp.tile(micro["timesteps"], 2)
         s2 = jnp.tile(micro["step_indices"], 2)
 
-        inp4 = jnp.concatenate([inp, inp], axis=0)
-        t4 = jnp.tile(t2, 2)
-        cond4 = jax.tree.map(lambda x: jnp.tile(x, (4,) + (1,) * (x.ndim - 1)), cond)
-        scale4 = jnp.concatenate(
-            [jnp.ones((2 * bsz,), jnp.float32), jnp.zeros((2 * bsz,), jnp.float32)]
-        )
-        eps4 = self.unet_apply({"params": params, "lora": lora}, inp4, t4, cond4, scale4)
-        eps_pol, eps_ref = jnp.split(eps4, 2, axis=0)
-        eps_ref = jax.lax.stop_gradient(eps_ref)
+        variables = {"params": params, "lora": lora}
+        cond2 = jax.tree.map(lambda x: jnp.tile(x, (2,) + (1,) * (x.ndim - 1)), cond)
+        if cfg.fuse_ref_pass:
+            inp4 = jnp.concatenate([inp, inp], axis=0)
+            t4 = jnp.tile(t2, 2)
+            cond4 = jax.tree.map(
+                lambda x: jnp.concatenate([x, x], axis=0), cond2
+            )
+            scale4 = jnp.concatenate(
+                [jnp.ones((2 * bsz,), jnp.float32), jnp.zeros((2 * bsz,), jnp.float32)]
+            )
+            eps4 = self.unet_apply(variables, inp4, t4, cond4, scale4)
+            eps_pol, eps_ref = jnp.split(eps4, 2, axis=0)
+            eps_ref = jax.lax.stop_gradient(eps_ref)
+        else:
+            eps_pol = self.unet_apply(variables, inp, t2, cond2, 1.0)
+            eps_ref = jax.lax.stop_gradient(
+                self.unet_apply(
+                    jax.lax.stop_gradient(variables), inp, t2, cond2, 0.0
+                )
+            )
 
         x_t2 = jnp.concatenate([x_t, x_t], 0)
         x_prev2 = jnp.concatenate([x_prev, x_prev], 0)

@@ -114,6 +114,33 @@ def test_full_epoch(sampler, compare):
     assert int(state.step) == len(metrics)
 
 
+def test_unfused_ref_pass_matches():
+    """fuse_ref_pass=False (memory mode) must produce the same loss."""
+    import dataclasses
+
+    trainer, variables, cond = _make()
+    samples, _ = trainer.sample_pairs(variables, cond, {}, jax.random.key(40))
+    state = PSOTrainState.create(variables["lora"], trainer.tx)
+
+    from pairwise_sample_optimization_tpu.train.online_pso import OnlinePSOTrainer
+
+    trainer2 = OnlinePSOTrainer(
+        dataclasses.replace(trainer.config, fuse_ref_pass=False),
+        trainer.unet_apply,
+        trainer.tx,
+        latent_hw=8,
+    )
+    # fresh buffers: _update donates the state, which would delete the
+    # lora arrays shared with `state`
+    state2 = PSOTrainState.create(
+        jax.tree.map(jnp.array, variables["lora"]), trainer2.tx
+    )
+    _, m1 = trainer.train_epoch(state, variables["params"], samples, cond, jax.random.key(41))
+    _, m2 = trainer2.train_epoch(state2, variables["params"], samples, cond, jax.random.key(41))
+    np.testing.assert_allclose(m1[0]["loss"], m2[0]["loss"], rtol=1e-4)
+    np.testing.assert_allclose(m2[0]["loss"], np.log(2.0), rtol=1e-4)
+
+
 def test_second_epoch_off_policy():
     trainer, variables, cond = _make()
     samples, _ = trainer.sample_pairs(variables, cond, {}, jax.random.key(20))
