@@ -9,9 +9,6 @@ reuses the per-tower name maps.
 
 from __future__ import annotations
 
-from typing import Dict
-
-import jax
 import jax.numpy as jnp
 import numpy as np
 

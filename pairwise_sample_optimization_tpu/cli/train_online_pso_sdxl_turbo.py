@@ -8,7 +8,6 @@ Usage:
 """
 
 from absl import app
-from absl import flags
 from ml_collections import config_flags
 
 from .online_runner import run_online_pso

@@ -12,7 +12,7 @@ self-generated images from the pretrained model (``negative_sample``,
 from __future__ import annotations
 
 import os
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Tuple
 
 import numpy as np
 

@@ -15,7 +15,7 @@ from typing import Tuple
 
 import jax.numpy as jnp
 
-from .clip import CLIPTextConfig, CLIPTextTower
+from .clip import CLIPTextTower
 
 
 def encode_sdxl_prompt(

@@ -21,7 +21,7 @@ reference model is ``lora_scale=0`` on the same parameters.
 from __future__ import annotations
 
 import dataclasses
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -165,10 +165,9 @@ def _fused_groupnorm_silu_fwd_only(x, scale, bias, num_groups, eps):
 
 
 def _reference_gn_silu(x, scale, bias, num_groups, eps):
-    from .group_norm import group_norm, _USE_PALLAS  # noqa: F401
-
     # call the pure-jnp path directly (avoid dispatch recursion)
     from . import group_norm as _gn_mod
+    from .group_norm import group_norm
 
     saved = _gn_mod._USE_PALLAS
     _gn_mod._USE_PALLAS = False

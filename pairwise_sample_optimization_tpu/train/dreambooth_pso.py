@@ -28,7 +28,6 @@ from typing import Callable
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..ops.schedules import NoiseScheduleConfig, make_alphas_cumprod
 from .losses import dreambooth_pso_loss

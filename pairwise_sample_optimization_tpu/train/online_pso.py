@@ -29,7 +29,6 @@ import jax.numpy as jnp
 from ..ops.ddpm_renoise import distilled_logprob
 from ..ops.euler_ancestral import turbo_logprob
 from ..ops.schedules import (
-    EulerAncestralSchedule,
     distill_timesteps,
     make_alphas_cumprod,
     make_euler_ancestral_schedule,
