@@ -111,15 +111,18 @@ def main():
         reward_ids,
     )
 
-    # compile + warmup
+    import numpy as np
+
+    # compile + warmup; NOTE: value readback is the only reliable device
+    # sync through the axon tunnel (block_until_ready can return early)
     winner, _ = fn(*args, jax.random.key(0))
-    jax.block_until_ready(winner)
+    np.asarray(winner)
 
     iters = 10
     t0 = time.perf_counter()
     for i in range(iters):
         winner, scores = fn(*args, jax.random.key(i + 1))
-    jax.block_until_ready(winner)
+    np.asarray(winner)  # hard sync on the dependent result
     dt = (time.perf_counter() - t0) / iters
 
     pairs_per_s = BATCH / dt
