@@ -48,6 +48,8 @@ def dot_product_attention(
 ) -> jnp.ndarray:
     """(B, S, H, D) attention; fp32 softmax accumulation."""
     impl = impl or _DEFAULT_IMPL
+    if impl == "pallas" and causal:
+        impl = "xla"  # causal towers (CLIP text) use the XLA path
     if impl == "xla" and not causal and _on_tpu():
         logits_bytes = 4 * q.shape[0] * q.shape[2] * q.shape[1] * k.shape[1]
         if logits_bytes >= _PALLAS_LOGITS_BYTES:
