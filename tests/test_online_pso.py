@@ -151,6 +151,29 @@ def test_second_epoch_off_policy():
     assert abs(m2[0]["loss"] - np.log(2.0)) > 1e-5
 
 
+def test_inner_epochs_and_multiple_updates():
+    """2 sampled batches + 2 inner epochs: 4 updates total; the first sits
+    at log(2), later ones move off-policy as the LoRA updates."""
+    import dataclasses
+
+    trainer, variables, cond = _make()
+    trainer.config = dataclasses.replace(trainer.config, num_inner_epochs=2)
+    s1, _ = trainer.sample_pairs(variables, cond, {}, jax.random.key(50))
+    s2, _ = trainer.sample_pairs(variables, cond, {}, jax.random.key(51))
+    samples = jax.tree.map(lambda a, b: jnp.concatenate([a, b], 0), s1, s2)
+    cond2 = jax.tree.map(lambda a: jnp.concatenate([a, a], 0), cond)
+
+    state = PSOTrainState.create(variables["lora"], trainer.tx)
+    state, metrics = trainer.train_epoch(
+        state, variables["params"], samples, cond2, jax.random.key(52)
+    )
+    # 8 samples / (bs2 * ga2) = 2 updates per inner epoch x 2 inner epochs
+    assert len(metrics) == 4
+    assert int(state.step) == 4
+    np.testing.assert_allclose(metrics[0]["loss"], np.log(2.0), rtol=1e-4)
+    assert abs(metrics[-1]["loss"] - np.log(2.0)) > 1e-6
+
+
 def test_shuffle_preserves_transition_alignment():
     """After shuffling, (latents[j], next_latents[j], step_indices[j]) must
     still be a consistent transition triple — verified via the log-prob
