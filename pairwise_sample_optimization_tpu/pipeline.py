@@ -182,6 +182,9 @@ class SDXLPipeline:
         resolution: int = 512,
         bpe_path: str = "",
         key: Optional[jax.Array] = None,
+        tiny: bool = False,
+        param_dtype=None,
+        remat: bool = False,
     ) -> "SDXLPipeline":
         """Port a local diffusers checkpoint directory (unet/, vae/,
         text_encoder/, text_encoder_2/ with .safetensors or .bin files)."""
@@ -191,7 +194,12 @@ class SDXLPipeline:
             resolution=resolution,
             bpe_path=bpe_path,
             key=key,
+            tiny=tiny,
+            param_dtype=param_dtype,
+            remat=remat,
         )
+        n_unet_levels = len(pipe.unet_config.block_out_channels)
+        n_vae_levels = len(pipe.vae.config.block_out_channels)
 
         def find_weights(sub):
             d = os.path.join(model_dir, sub)
@@ -203,8 +211,16 @@ class SDXLPipeline:
             return None
 
         loads = [
-            ("unet", pipe.unet_variables, functools.partial(unet_param_map, n_levels=3)),
-            ("vae", pipe.vae_variables, functools.partial(vae_param_map, n_levels=4)),
+            (
+                "unet",
+                pipe.unet_variables,
+                functools.partial(unet_param_map, n_levels=n_unet_levels),
+            ),
+            (
+                "vae",
+                pipe.vae_variables,
+                functools.partial(vae_param_map, n_levels=n_vae_levels),
+            ),
             ("text_encoder", pipe.te1_variables, clip_text_param_map),
             ("text_encoder_2", pipe.te2_variables, clip_text_param_map),
         ]
