@@ -217,6 +217,18 @@ def run_online_pso(config, sampler: str, num_epochs: Optional[int] = None):
             pipe.unet_variables = saved
         return images
 
+    def _save_images(images, step, limit=5):
+        """First few validation images as PNGs (ref saves 5, ``:183-184``)."""
+        try:
+            from PIL import Image
+        except ImportError:
+            return
+        arr = ((np.asarray(images[:limit]) + 1.0) * 127.5).clip(0, 255).astype(np.uint8)
+        img_dir = os.path.join(out_dir, f"val-{step}")
+        os.makedirs(img_dir, exist_ok=True)
+        for i, a in enumerate(arr):
+            Image.fromarray(a).save(os.path.join(img_dir, f"{i}.png"))
+
     def run_validation(state, step):
         bs = max(config.sample.batch_size, 1)
         ps_scores, clip_scores = [], []
@@ -230,6 +242,8 @@ def run_online_pso(config, sampler: str, num_epochs: Optional[int] = None):
                 state.lora, ids1, ids2,
                 jax.random.fold_in(jax.random.key(config.seed), start),
             )
+            if start == 0 and jax.process_index() == 0:
+                _save_images(images, step)
             r_ids = jnp.asarray(tok_r(chunk))
             ps_scores.append(np.asarray(scorer.score(images, r_ids)))
             clip_scores.append(np.asarray(clip_scorer.score(images, r_ids)))

@@ -64,6 +64,9 @@ def test_online_runner_validation(tmp_path):
     assert val, "validation metrics missing"
     assert np.isfinite(val[0]["val/pickscore"])
     assert np.isfinite(val[0]["val/clip_score"])
+    # first validation images saved as PNGs (ref parity)
+    img_dir = os.path.join(str(tmp_path), "smoke_turbo", "val-1")
+    assert os.path.isdir(img_dir) and len(os.listdir(img_dir)) > 0
 
 
 def test_online_runner_resume(tmp_path):
