@@ -7,6 +7,8 @@ from .losses import (
 )
 from .train_state import PSOTrainState, make_optimizer
 from .online_pso import OnlinePSOConfig, OnlinePSOTrainer
+from .dreambooth_pso import DreamBoothPSOConfig, DreamBoothPSOTrainer
+from .quantized_adam import adam8bit
 
 __all__ = [
     "sample_turbo_trajectories",
@@ -20,4 +22,7 @@ __all__ = [
     "make_optimizer",
     "OnlinePSOConfig",
     "OnlinePSOTrainer",
+    "DreamBoothPSOConfig",
+    "DreamBoothPSOTrainer",
+    "adam8bit",
 ]
