@@ -86,7 +86,8 @@ def run_online_pso(config, sampler: str, num_epochs: Optional[int] = None):
     param_dtype = (
         jnp.bfloat16 if config.get("param_dtype", "float32") == "bfloat16" else None
     )
-    remat = bool(config.get("activation_checkpoint", True))
+    remat_knob = config.get("activation_checkpoint", "full")
+    remat = remat_knob if remat_knob in ("full", "resnets") else bool(remat_knob)
     if config.pretrained.model_dir:
         pipe = SDXLPipeline.from_torch_dir(
             config.pretrained.model_dir,

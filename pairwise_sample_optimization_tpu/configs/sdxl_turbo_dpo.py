@@ -24,8 +24,9 @@ def get_config():
     # storage dtype for frozen tower weights ("bfloat16" to fit a 16GB
     # chip; LoRA masters stay fp32 regardless)
     config.param_dtype = "float32"
-    # rematerialize UNet blocks in backward (ref gradient checkpointing)
-    config.activation_checkpoint = True
+    # rematerialize UNet blocks in backward (ref gradient checkpointing):
+    # "full" | "resnets" (selective) | "" (off)
+    config.activation_checkpoint = "full"
     # toy 2-level models end-to-end (CI smoke / CPU bringup)
     config.tiny_model = False
     # zero-fill random weights from eval_shape (fast bringup/throughput runs)

@@ -61,10 +61,13 @@ class UNetConfig:
     num_time_ids: int = 6
     norm_groups: int = 32
     lora_rank: int = 0
-    # rematerialize resnet/transformer blocks in the backward pass (the
-    # reference's enable_gradient_checkpointing, ref ``:358``) — trades
-    # FLOPs for activation memory; essential for 1024^2 training
-    remat: bool = False
+    # rematerialize blocks in the backward pass (the reference's
+    # enable_gradient_checkpointing, ref ``:358``) — trades FLOPs for
+    # activation memory; essential for 1024^2 training.
+    # False/"none" = off; True/"full" = resnets+transformers;
+    # "resnets" = selective (frees the large conv maps, keeps attention
+    # activations — 512^2 no-remat misses a 16GB chip by ~63MB)
+    remat: bool | str = False
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.float32
 
@@ -155,10 +158,12 @@ class SDXLUNet(nn.Module):
             )(add_embeds.astype(dt))
 
         context = encoder_hidden_states.astype(dt)
-        ResnetCls = nn.remat(ResnetBlock) if cfg.remat else ResnetBlock
+        remat_resnets = cfg.remat in (True, "full", "resnets")
+        remat_attn = cfg.remat in (True, "full")
+        ResnetCls = nn.remat(ResnetBlock) if remat_resnets else ResnetBlock
         TransformerCls = (
             nn.remat(SpatialTransformer, static_argnums=())
-            if cfg.remat
+            if remat_attn
             else SpatialTransformer
         )
         resnet = lambda ch, name: ResnetCls(

@@ -90,7 +90,7 @@ class SDXLPipeline:
         key: Optional[jax.Array] = None,
         fast_init: bool = False,
         param_dtype=None,
-        remat: bool = False,
+        remat: bool | str = False,
     ) -> "SDXLPipeline":
         """``fast_init=True`` fills params with zeros from eval_shape instead
         of compiling the (huge) random-init program — seconds instead of
@@ -132,7 +132,7 @@ class SDXLPipeline:
             t1cfg = dataclasses.replace(CLIPTextConfig.sdxl_te1(dtype=dtype), **pd)
             t2cfg = dataclasses.replace(CLIPTextConfig.sdxl_te2(dtype=dtype), **pd)
         if remat:
-            ucfg = dataclasses.replace(ucfg, remat=True)
+            ucfg = dataclasses.replace(ucfg, remat=remat)
 
         latent_hw = resolution // 8
         unet = SDXLUNet(ucfg)
