@@ -81,12 +81,17 @@ class HashTokenizer:
         self.pad_token_id = self.eot if pad_token_id is None else pad_token_id
 
     def __call__(self, texts: str | Sequence[str]) -> np.ndarray:
+        import zlib
+
         if isinstance(texts, str):
             texts = [texts]
         out = np.full((len(texts), self.context_length), self.pad_token_id, np.int32)
         for i, text in enumerate(texts):
             words = _clean(text).split()[: self.context_length - 2]
-            ids = [hash(w) % (self.vocab_size - 2) for w in words]
+            # stable across processes (python's hash() is seed-randomized)
+            ids = [
+                zlib.crc32(w.encode("utf-8")) % (self.vocab_size - 2) for w in words
+            ]
             row = [self.sot] + ids + [self.eot]
             out[i, : len(row)] = row
         return out
