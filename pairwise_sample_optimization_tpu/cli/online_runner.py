@@ -103,6 +103,7 @@ def run_online_pso(config, sampler: str, num_epochs: Optional[int] = None):
             bpe_path=config.pretrained.bpe_path, tiny=tiny,
             param_dtype=param_dtype, remat=remat,
             fast_init=bool(config.get("fast_init", False)),
+            unet_attention_impl=config.kernels.get("unet_attention_impl", "") or None,
         )
     pipe.decode_chunk = int(config.get("vae_decode_chunk", 0))
 

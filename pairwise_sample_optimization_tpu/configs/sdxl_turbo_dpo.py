@@ -91,7 +91,9 @@ def get_config():
 
     # ---- kernels ----
     config.kernels = kernels = ml_collections.ConfigDict()
-    kernels.attention_impl = "xla"  # "xla" | "pallas" | "naive"
+    kernels.attention_impl = "xla"  # global default: "xla" | "pallas" | "naive"
+    # UNet-only override ("" = global default); UNet shapes favor pallas
+    kernels.unet_attention_impl = ""
     kernels.fused_groupnorm = False
 
     # ---- data ----

@@ -147,6 +147,7 @@ class Attention(nn.Module):
     head_dim: int
     out_features: Optional[int] = None
     lora_rank: int = 0
+    impl: Optional[str] = None  # None = global dispatch default
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
 
@@ -172,7 +173,7 @@ class Attention(nn.Module):
         q = q.reshape(b, sq, self.heads, self.head_dim)
         k = k.reshape(b, sk, self.heads, self.head_dim)
         v = v.reshape(b, sk, self.heads, self.head_dim)
-        o = dot_product_attention(q, k, v)
+        o = dot_product_attention(q, k, v, impl=self.impl)
         o = o.reshape(b, sq, inner)
         return LoRADense(
             out_features,
@@ -212,6 +213,7 @@ class BasicTransformerBlock(nn.Module):
     heads: int
     head_dim: int
     lora_rank: int = 0
+    attention_impl: Optional[str] = None
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
 
@@ -224,6 +226,7 @@ class BasicTransformerBlock(nn.Module):
             heads=self.heads,
             head_dim=self.head_dim,
             lora_rank=self.lora_rank,
+            impl=self.attention_impl,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name=name,
@@ -247,6 +250,7 @@ class SpatialTransformer(nn.Module):
     head_dim: int
     lora_rank: int = 0
     groups: int = 32
+    attention_impl: Optional[str] = None
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
 
@@ -263,6 +267,7 @@ class SpatialTransformer(nn.Module):
                 heads=self.heads,
                 head_dim=self.head_dim,
                 lora_rank=self.lora_rank,
+                attention_impl=self.attention_impl,
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
                 name=f"block_{i}",

@@ -61,6 +61,10 @@ class UNetConfig:
     num_time_ids: int = 6
     norm_groups: int = 32
     lora_rank: int = 0
+    # attention implementation for THIS model's transformer blocks;
+    # None = global dispatch default. The UNet's shapes (seq 256-4096,
+    # d64) favor the Pallas kernel fwd+bwd; VAE/CLIP stay on XLA.
+    attention_impl: str | None = None
     # rematerialize blocks in the backward pass (the reference's
     # enable_gradient_checkpointing, ref ``:358``) — trades FLOPs for
     # activation memory; essential for 1024^2 training.
@@ -178,6 +182,7 @@ class SDXLUNet(nn.Module):
                 head_dim=head_dim,
                 lora_rank=cfg.lora_rank,
                 groups=cfg.norm_groups,
+                attention_impl=cfg.attention_impl,
                 dtype=dt,
                 param_dtype=pdt,
                 name=name,

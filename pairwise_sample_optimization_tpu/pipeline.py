@@ -91,6 +91,7 @@ class SDXLPipeline:
         fast_init: bool = False,
         param_dtype=None,
         remat: bool | str = False,
+        unet_attention_impl: str | None = None,
     ) -> "SDXLPipeline":
         """``fast_init=True`` fills params with zeros from eval_shape instead
         of compiling the (huge) random-init program — seconds instead of
@@ -133,6 +134,8 @@ class SDXLPipeline:
             t2cfg = dataclasses.replace(CLIPTextConfig.sdxl_te2(dtype=dtype), **pd)
         if remat:
             ucfg = dataclasses.replace(ucfg, remat=remat)
+        if unet_attention_impl:
+            ucfg = dataclasses.replace(ucfg, attention_impl=unet_attention_impl)
 
         latent_hw = resolution // 8
         unet = SDXLUNet(ucfg)
