@@ -152,6 +152,7 @@ def run_online_pso(config, sampler: str, num_epochs: Optional[int] = None):
         grad_accum=config.train.gradient_accumulation_steps,
         num_inner_epochs=config.train.num_inner_epochs,
         compare="sample" if sampler == "turbo" else "pareto",
+        clamp_mode=str(config.train.get("clamp_mode", "ratio")),
         shared_noise=bool(config.sample.get("shared_noise", True)),
         fuse_ref_pass=bool(config.train.get("fuse_ref_pass", True)),
     )

@@ -81,6 +81,8 @@ def get_config():
     train.num_inner_epochs = 1
     train.beta = 50.0
     train.eps = 0.1
+    # ratio-clamp flavor: "ratio" (reference parity) | "logratio" | "none"
+    train.clamp_mode = "ratio"
     # bf16 Adam moments ~= the reference's 8-bit Adam memory saving
     train.optimizer_state_dtype = ""  # "" (fp32) | "bfloat16"
     # block-quantized int8-moment AdamW (bitsandbytes AdamW8bit parity)

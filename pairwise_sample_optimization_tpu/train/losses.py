@@ -69,16 +69,30 @@ def pso_pairwise_loss(
     prefer: jnp.ndarray,  # (B, 2) from a comparator above
     beta: float,
     eps: float,
+    clamp_mode: str = "ratio",
 ) -> jnp.ndarray:
     """-log sigmoid(beta*(log r0)*pref0 + beta*(log r1)*pref1), mean over B.
 
-    The probability ratio is clamped to [1-eps, 1+eps] *before* the log
-    (reference quirk, ``:844-845``) — this bounds each per-step advantage
-    to +-beta*log(1+-eps).
+    ``clamp_mode``:
+    - "ratio" (reference parity): clamp exp(logp - ref) to [1-eps, 1+eps]
+      *before* the log (``:844-845``) — bounds each per-step advantage to
+      +-beta*log(1+-eps), and costs an exp/log round trip;
+    - "logratio" (fixed variant): clip the log-ratio directly to
+      [log(1-eps), log(1+eps)] — same bound, numerically direct;
+    - "none": unclamped DPO logits.
     """
-    ratio_0 = jnp.clip(jnp.exp(logp_0 - ref_logp_0), 1.0 - eps, 1.0 + eps)
-    ratio_1 = jnp.clip(jnp.exp(logp_1 - ref_logp_1), 1.0 - eps, 1.0 + eps)
-    inner = beta * jnp.log(ratio_0) * prefer[:, 0] + beta * jnp.log(ratio_1) * prefer[:, 1]
+    d0 = logp_0 - ref_logp_0
+    d1 = logp_1 - ref_logp_1
+    if clamp_mode == "ratio":
+        d0 = jnp.log(jnp.clip(jnp.exp(d0), 1.0 - eps, 1.0 + eps))
+        d1 = jnp.log(jnp.clip(jnp.exp(d1), 1.0 - eps, 1.0 + eps))
+    elif clamp_mode == "logratio":
+        lo, hi = jnp.log1p(-eps), jnp.log1p(eps)
+        d0 = jnp.clip(d0, lo, hi)
+        d1 = jnp.clip(d1, lo, hi)
+    elif clamp_mode != "none":
+        raise ValueError(f"unknown clamp_mode {clamp_mode}")
+    inner = beta * d0 * prefer[:, 0] + beta * d1 * prefer[:, 1]
     return -jnp.mean(jax.nn.log_sigmoid(inner))
 
 

@@ -49,6 +49,9 @@ class OnlinePSOConfig:
     num_inner_epochs: int = 1
     # preference rule: turbo uses per-sample random axis, dmd strict Pareto
     compare: str = "sample"  # "sample" | "pareto"
+    # "ratio" = reference parity (clamp exp before log); "logratio" =
+    # fixed variant; "none" = plain DPO
+    clamp_mode: str = "ratio"
     shared_noise: bool = True  # dmd-only quirk flag
     num_train_timesteps: int | None = None  # default: num_steps - 1
     # fuse the frozen-reference pass into the policy apply (4b batch, one
@@ -284,7 +287,10 @@ class OnlinePSOTrainer:
         else:
             prefer = pareto_compare(micro["rewards"][:, 0], micro["rewards"][:, 1])
 
-        loss = pso_pairwise_loss(lp_0, ref_0, lp_1, ref_1, prefer, cfg.beta, cfg.eps)
+        loss = pso_pairwise_loss(
+            lp_0, ref_0, lp_1, ref_1, prefer, cfg.beta, cfg.eps,
+            clamp_mode=cfg.clamp_mode,
+        )
         ratio_w = jnp.mean(jnp.exp(jnp.where(prefer[:, 0] > 0, lp_0 - ref_0, lp_1 - ref_1)))
         return loss, {"loss": loss, "ratio_win": ratio_w}
 

@@ -134,6 +134,26 @@ class TestPairwiseLoss:
         want = -np.log(1 / (1 + np.exp(-50 * np.log(1.1))))
         np.testing.assert_allclose(float(loss), want, rtol=2e-3)
 
+    def test_clamp_modes_agree_in_bounds(self):
+        """Inside the clamp band all three modes coincide; outside, the
+        two clamped modes agree with each other but not with 'none'."""
+        z = jnp.zeros((4,))
+        small = jnp.full((4,), 0.01)  # |log ratio| < log(1.1)
+        prefer = jnp.tile(jnp.asarray([[-1.0, 1.0]]), (4, 1))
+        vals = [
+            float(pso_pairwise_loss(z, z, small, z, prefer, 50.0, 0.1, clamp_mode=m))
+            for m in ("ratio", "logratio", "none")
+        ]
+        np.testing.assert_allclose(vals[0], vals[1], rtol=1e-5)
+        np.testing.assert_allclose(vals[0], vals[2], rtol=1e-5)
+
+        big = jnp.full((4,), 2.0)  # far outside the band
+        v_ratio = float(pso_pairwise_loss(z, z, big, z, prefer, 50.0, 0.1, clamp_mode="ratio"))
+        v_logr = float(pso_pairwise_loss(z, z, big, z, prefer, 50.0, 0.1, clamp_mode="logratio"))
+        v_none = float(pso_pairwise_loss(z, z, big, z, prefer, 50.0, 0.1, clamp_mode="none"))
+        np.testing.assert_allclose(v_ratio, v_logr, rtol=1e-4)
+        assert v_none < v_ratio  # unclamped saturates the sigmoid
+
     def test_gradient_finite(self):
         prefer = jnp.tile(jnp.asarray([[1.0, -1.0]]), (3, 1))
 
