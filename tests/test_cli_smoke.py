@@ -116,6 +116,24 @@ def test_evaluate_cli_imagereward_tiny(tmp_path):
     assert np.isfinite(summary["imagereward_mean"])
 
 
+def test_generate_cli_tiny(tmp_path):
+    from pairwise_sample_optimization_tpu.cli.generate import main
+
+    paths = main(
+        [
+            "--tiny",
+            "--resolution=16",
+            "--prompt=a corgi on a beach",
+            "--prompt=an oil painting of a lighthouse",
+            "--num_steps=4",
+            "--lora_rank=2",
+            f"--out={tmp_path / 'gen'}",
+        ]
+    )
+    assert len(paths) == 2
+    assert all(os.path.exists(p) for p in paths)
+
+
 def test_dreambooth_cli_tiny(tmp_path):
     from PIL import Image
 
