@@ -192,15 +192,28 @@ def main(argv=None):
 
     # ---- padded gather -> truncate -> means (ref :99-130) ----
     summary = {}
+    per_prompt = {}
     for name, chunks in results.items():
         local = np.concatenate(chunks)[: per]
         gathered = padded_gather([local], per * n_proc)[:n_total]
+        per_prompt[name] = [float(x) for x in gathered]
         summary[f"{name}_mean"] = float(np.mean(gathered))
         logger.info("%s on eval set: %.8f", name, summary[f"{name}_mean"])
 
     if rank == 0 and args.output_json:
         with open(args.output_json, "w") as f:
-            json.dump({"n_prompts": n_total, **summary}, f, indent=2)
+            json.dump(
+                {
+                    "n_prompts": n_total,
+                    **summary,
+                    "per_prompt": {
+                        "prompts": prompts,
+                        **per_prompt,
+                    },
+                },
+                f,
+                indent=2,
+            )
     print(json.dumps(summary))
     return summary
 

@@ -97,7 +97,22 @@ def test_evaluate_cli_tiny(tmp_path):
     assert set(summary) == {"pickscore_mean", "clip_mean", "aesthetic_mean"}
     assert all(np.isfinite(v) for v in summary.values())
     with open(out) as f:
-        assert json.load(f)["n_prompts"] == 4
+        report = json.load(f)
+    assert report["n_prompts"] == 4
+    assert len(report["per_prompt"]["pickscore"]) == 4
+    assert len(report["per_prompt"]["prompts"]) == 4
+
+
+def test_online_runner_deterministic(tmp_path):
+    """Same config + seed -> bit-identical training metrics."""
+    from pairwise_sample_optimization_tpu.cli.online_runner import run_online_pso
+
+    c1 = _tiny_online_config(tmp_path / "a", "turbo")
+    c2 = _tiny_online_config(tmp_path / "b", "turbo")
+    _, h1 = run_online_pso(c1, sampler="turbo", num_epochs=1)
+    _, h2 = run_online_pso(c2, sampler="turbo", num_epochs=1)
+    assert h1[0]["loss"] == h2[0]["loss"]
+    assert h1[0]["grad_norm"] == h2[0]["grad_norm"]
 
 
 def test_evaluate_cli_imagereward_tiny(tmp_path):
