@@ -108,4 +108,16 @@ def get_config():
     ppst.buffer_size = 16
     ppst.min_count = 16
 
+    # ---- schema parity with the reference config (knobs its own PSO
+    # trainers also parse but never consume; kept for drop-in override
+    # compatibility of launch scripts) ----
+    sample.eval_batch_size = 10
+    sample.eval_epoch = 10
+    sample.save_interval = 100
+    train.timestep_fraction = 1.0
+    train.adv_clip_max = 5
+    train.clip_range = 1e-4
+    train.save_interval = 100
+    config.kl_ratio = 0.01
+
     return config
