@@ -53,6 +53,10 @@ def parse_args(argv=None):
     p.add_argument("--output_json", default="")
     p.add_argument("--tiny", action="store_true", help="toy models (smoke/CI)")
     p.add_argument("--wordpiece_vocab", default="", help="bert vocab.txt for ImageReward")
+    p.add_argument(
+        "--vae_decode_chunk", type=int, default=-1,
+        help="decode N images at a time (-1 = auto: 1 at >=1024^2)",
+    )
     return p.parse_args(argv)
 
 
@@ -98,6 +102,11 @@ def main(argv=None):
             args.lora_path, pipe.unet_variables["lora"]
         )
         logger.info("loaded PSO LoRA from %s", args.lora_path)
+    if args.vae_decode_chunk == -1:
+        # 1024^2 decoder activations need chunking on a 16GB chip
+        pipe.decode_chunk = 1 if args.resolution >= 1024 and not args.tiny else 0
+    else:
+        pipe.decode_chunk = args.vae_decode_chunk
 
     if args.bpe_path and os.path.exists(args.bpe_path):
         tok1 = CLIPTokenizer(args.bpe_path)
