@@ -70,7 +70,10 @@ def main():
     ids2 = jnp.ones((BATCH, 77), jnp.int32)
     reward_ids = jnp.ones((BATCH, 77), jnp.int32)
 
-    def program(unet_vars, te1_vars, te2_vars, ids1, ids2, reward_ids, key):
+    def program(
+        unet_vars, vae_vars, scorer_vars, te1_vars, te2_vars,
+        ids1, ids2, reward_ids, key,
+    ):
         from pairwise_sample_optimization_tpu.models.sdxl_text import (
             compute_time_ids,
             encode_sdxl_prompt,
@@ -91,19 +94,29 @@ def main():
             return pipe.unet_apply(unet_vars, x, t, cond, 1.0)
 
         traj = sample_turbo_trajectories(eps_fn, schedule, init, k_step)
-        images = pipe.vae.apply(
-            pipe.vae_variables, traj.final_latents, method=pipe.vae.decode
-        )
-        txt = scorer._text_features_impl(reward_ids)
-        img = scorer._image_features_impl(images)
+        images = pipe.vae.apply(vae_vars, traj.final_latents, method=pipe.vae.decode)
+        txt = scorer._text_features_v(scorer_vars, reward_ids)
+        img = scorer._image_features_v(scorer_vars, images)
         scores = jnp.sum(jnp.concatenate([txt, txt], 0) * img, axis=-1)
         s0, s1 = jnp.split(scores, 2)
         winner = (s1 >= s0).astype(jnp.int32)  # ties -> trajectory 1 (ref rule)
         return winner, scores
 
-    fn = jax.jit(program)
+    # Weights are jit ARGUMENTS (not baked closure constants: that would
+    # double HBM and slow compiles), with AUTO input layouts so XLA still
+    # gets its preferred parameter layouts — device_put once up front
+    # instead of relayout-per-call.
+    from jax.experimental.layout import Format, Layout
+
+    AUTO = Format(Layout.AUTO)
+    n_weight_args = 5  # unet, vae, scorer, te1, te2
+    fn = jax.jit(
+        program, in_shardings=(AUTO,) * n_weight_args + (None,) * 4
+    )
     args = (
         pipe.unet_variables,
+        pipe.vae_variables,
+        scorer.variables,
         pipe.te1_variables,
         pipe.te2_variables,
         ids1,
@@ -113,15 +126,33 @@ def main():
 
     import numpy as np
 
+    compiled = fn.lower(*args, jax.random.key(0)).compile()
+    formats = compiled.input_formats[0]
+
+    def relayout(tree, fmt):
+        # leaf-by-leaf with immediate source delete: a whole-tree second
+        # copy would OOM 16GB HBM (donate=True misapplies some layouts)
+        def one(x, f):
+            y = jax.device_put(x, f)
+            jax.block_until_ready(y)
+            x.delete()
+            return y
+
+        return jax.tree.map(one, tree, fmt)
+
+    args = tuple(relayout(a, f) for a, f in zip(args, formats[:-1]))
+    pipe.unet_variables, pipe.vae_variables, scorer.variables = args[0], args[1], args[2]
+    pipe.te1_variables, pipe.te2_variables = args[3], args[4]
+
     # compile + warmup; NOTE: value readback is the only reliable device
     # sync through the axon tunnel (block_until_ready can return early)
-    winner, _ = fn(*args, jax.random.key(0))
+    winner, _ = compiled(*args, jax.random.key(0))
     np.asarray(winner)
 
     iters = 10
     t0 = time.perf_counter()
     for i in range(iters):
-        winner, scores = fn(*args, jax.random.key(i + 1))
+        winner, scores = compiled(*args, jax.random.key(i + 1))
     np.asarray(winner)  # hard sync on the dependent result
     dt = (time.perf_counter() - t0) / iters
 

@@ -25,7 +25,7 @@ import numpy as np
 from ..checkpoints import import_lora_safetensors
 from ..data import CLIPTokenizer, HashTokenizer, PromptDataset
 from ..models.clip import CLIPTextConfig, CLIPVisionConfig
-from ..parallel.collectives import padded_gather
+from ..parallel.collectives import round_robin_gather
 from ..pipeline import SDXLPipeline
 from ..rewards import AestheticScorer, CLIPScorer, PickScoreScorer
 from ..utils import get_logger
@@ -199,12 +199,13 @@ def main(argv=None):
         if done % (10 * bs) < bs:
             logger.info("[%d/%d] prompts evaluated", done, len(shard))
 
-    # ---- padded gather -> truncate -> means (ref :99-130) ----
+    # ---- cross-process gather -> restore round-robin order -> truncate ->
+    # means (ref :99-130; per-prompt scores land on their own prompts) ----
     summary = {}
     per_prompt = {}
     for name, chunks in results.items():
-        local = np.concatenate(chunks)[: per]
-        gathered = padded_gather([local], per * n_proc)[:n_total]
+        local = np.concatenate(chunks)[:per]
+        gathered = round_robin_gather(local, n_total)
         per_prompt[name] = [float(x) for x in gathered]
         summary[f"{name}_mean"] = float(np.mean(gathered))
         logger.info("%s on eval set: %.8f", name, summary[f"{name}_mean"])

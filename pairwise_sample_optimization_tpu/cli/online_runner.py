@@ -143,6 +143,18 @@ def run_online_pso(config, sampler: str, num_epochs: Optional[int] = None):
     )
 
     # ---- trainer ----
+    # trained timesteps: the reference asserts the knob equals
+    # num_steps - 1 (``train_online_pso_sdxl_turbo.py:221``)
+    train_timesteps = int(config.train.get("distilled_train_steps", 0)) or (
+        config.sample.num_steps - 1
+    )
+    assert train_timesteps == config.sample.num_steps - 1, (
+        f"train.distilled_train_steps ({train_timesteps}) must equal "
+        f"sample.num_steps - 1 ({config.sample.num_steps - 1}) — the last "
+        "denoise step is deterministic and never trained (reference "
+        "train_online_pso_sdxl_turbo.py:221)"
+    )
+    full_ft = not config.use_lora
     ocfg = OnlinePSOConfig(
         sampler=sampler,
         num_steps=config.sample.num_steps,
@@ -154,7 +166,10 @@ def run_online_pso(config, sampler: str, num_epochs: Optional[int] = None):
         compare="sample" if sampler == "turbo" else "pareto",
         clamp_mode=str(config.train.get("clamp_mode", "ratio")),
         shared_noise=bool(config.sample.get("shared_noise", True)),
-        fuse_ref_pass=bool(config.train.get("fuse_ref_pass", True)),
+        num_train_timesteps=train_timesteps,
+        # full finetune runs policy/ref as separate applies (different weights)
+        fuse_ref_pass=bool(config.train.get("fuse_ref_pass", True)) and not full_ft,
+        full_finetune=full_ft,
     )
     tx = make_optimizer(
         learning_rate=config.train.learning_rate,
@@ -167,20 +182,30 @@ def run_online_pso(config, sampler: str, num_epochs: Optional[int] = None):
         use_8bit=bool(config.train.get("use_8bit_adam", False)),
     )
 
-    def reward_fn(images, reward_cond):
-        return scorer.score_with_text_features(images, reward_cond["text_features"])
+    # decode/reward weights ride through ``aux_variables`` as jit ARGUMENTS
+    # (closure captures would bake GBs of constants into the executable)
+    def decode_fn(latents, aux):
+        return pipe.decode(latents, aux["vae"])
+
+    def reward_fn(images, reward_cond, aux):
+        img = scorer._image_features_v(aux["scorer"], images)
+        return jnp.sum(reward_cond["text_features"] * img, axis=-1)
 
     trainer = OnlinePSOTrainer(
         ocfg,
         pipe.unet_apply,
         tx,
-        decode_fn=pipe.decode,
+        decode_fn=decode_fn,
         reward_fn=reward_fn,
         latent_hw=pipe.latent_hw,
     )
+    aux_vars = {"vae": pipe.vae_variables, "scorer": scorer.variables}
 
     # ---- state / resume ----
-    state = PSOTrainState.create(pipe.unet_variables["lora"], tx)
+    # trainable tree: LoRA adapters, or the full param tree (use_lora=False;
+    # the frozen reference copy then lives in pipe.unet_variables["params"])
+    trainable = pipe.unet_variables["params"] if full_ft else pipe.unet_variables["lora"]
+    state = PSOTrainState.create(trainable, tx)
     if config.resume_from:
         ckpt = latest_checkpoint(config.resume_from)
         if ckpt:
@@ -206,19 +231,23 @@ def run_online_pso(config, sampler: str, num_epochs: Optional[int] = None):
     )
     val_prompts = val_dataset.prompts[: config.val_max_prompts]
 
+    def _policy_variables(trainable):
+        if full_ft:
+            return {"params": trainable}
+        return {"params": pipe.unet_variables["params"], "lora": trainable}
+
     @jax.jit
-    def _val_generate(lora, ids1, ids2, key):
+    def _val_generate(trainable, vae_vars, ids1, ids2, key):
+        # live train-state weights enter as jit ARGUMENTS — the reference
+        # reloads a whole pipeline from disk per validation (``:886-902``);
+        # trace-time swapping of pipe.unet_variables would bake them instead
         cond = pipe.encode_prompt(ids1, ids2)
-        saved = pipe.unet_variables
-        pipe.unet_variables = {"params": saved["params"], "lora": lora}
-        try:
-            if sampler == "turbo":
-                images = pipe.generate(cond, key, num_steps=4)
-            else:
-                images = pipe.generate_dmd(cond, key, num_steps=4)
-        finally:
-            pipe.unet_variables = saved
-        return images
+        gen = pipe.generate if sampler == "turbo" else pipe.generate_dmd
+        return gen(
+            cond, key, num_steps=4,
+            unet_variables=_policy_variables(trainable),
+            vae_variables=vae_vars,
+        )
 
     def _save_images(images, step, limit=5):
         """First few validation images as PNGs (ref saves 5, ``:183-184``)."""
@@ -242,7 +271,7 @@ def run_online_pso(config, sampler: str, num_epochs: Optional[int] = None):
             ids1 = jnp.asarray(tok1(chunk))
             ids2 = jnp.asarray(tok2(chunk))
             images = _val_generate(
-                state.lora, ids1, ids2,
+                state.lora, pipe.vae_variables, ids1, ids2,
                 jax.random.fold_in(jax.random.key(config.seed), start),
             )
             if start == 0 and jax.process_index() == 0:
@@ -279,17 +308,15 @@ def run_online_pso(config, sampler: str, num_epochs: Optional[int] = None):
         all_samples, all_cond = [], []
         with timer.phase("sample"):
             for b_idx, batch in enumerate(loader.epoch()):
-                variables = {
-                    "params": pipe.unet_variables["params"],
-                    "lora": state.lora,
-                }
+                variables = _policy_variables(state.lora)
                 cond = encode(
                     jnp.asarray(batch["input_ids_one"]),
                     jnp.asarray(batch["input_ids_two"]),
                 )
                 rc = {"text_features": text_feats(jnp.asarray(batch["reward_input_ids"]))}
                 samples, _images = trainer.sample_pairs(
-                    variables, cond, rc, jax.random.fold_in(ekey, b_idx)
+                    variables, cond, rc, jax.random.fold_in(ekey, b_idx),
+                    aux_variables=aux_vars,
                 )
                 all_samples.append(samples)
                 all_cond.append(cond)
@@ -304,7 +331,11 @@ def run_online_pso(config, sampler: str, num_epochs: Optional[int] = None):
         samples = jax.tree.map(lambda *xs: jnp.concatenate(xs, 0), *all_samples)
         cond = jax.tree.map(lambda *xs: jnp.concatenate(xs, 0), *all_cond)
 
-        rewards = np.asarray(samples["rewards"])
+        # cross-process reward stats (reference gathers rewards over ranks
+        # before logging, ``train_online_pso_sdxl_turbo.py:679-687``)
+        from ..parallel.collectives import process_allgather
+
+        rewards = process_allgather(np.asarray(samples["rewards"]))
         metrics_logger.log_metrics(
             {
                 "epoch": epoch,
@@ -336,13 +367,14 @@ def run_online_pso(config, sampler: str, num_epochs: Optional[int] = None):
             if global_step % config.checkpointing_steps == 0 or global_step == 1:
                 if jax.process_index() == 0:
                     path = save_train_state(out_dir, global_step, state, {"epoch": epoch})
-                    # diffusers-interop LoRA export beside the orbax dir
-                    lora_dir = os.path.join(out_dir, f"lora-{global_step}")
-                    os.makedirs(lora_dir, exist_ok=True)
-                    export_lora_safetensors(
-                        state.lora,
-                        os.path.join(lora_dir, "pytorch_lora_weights.safetensors"),
-                    )
+                    if not full_ft:
+                        # diffusers-interop LoRA export beside the orbax dir
+                        lora_dir = os.path.join(out_dir, f"lora-{global_step}")
+                        os.makedirs(lora_dir, exist_ok=True)
+                        export_lora_safetensors(
+                            state.lora,
+                            os.path.join(lora_dir, "pytorch_lora_weights.safetensors"),
+                        )
                     prune_checkpoints(out_dir, int(config.num_checkpoint_limit))
                     logger.info("saved state to %s", path)
         timer.reset()

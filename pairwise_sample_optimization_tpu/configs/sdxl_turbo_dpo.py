@@ -96,7 +96,8 @@ def get_config():
     kernels.attention_impl = "xla"  # global default: "xla" | "pallas" | "naive"
     # UNet-only override ("" = global default); UNet shapes favor pallas
     kernels.unet_attention_impl = ""
-    kernels.fused_groupnorm = False
+    # size-gated Pallas GroupNorm+SiLU (fires on decoder-scale activations)
+    kernels.fused_groupnorm = True
 
     # ---- data ----
     config.prompt_json = ""  # 4k_training_prompts.json-style list

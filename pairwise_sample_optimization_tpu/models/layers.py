@@ -338,23 +338,38 @@ class Downsample(nn.Module):
         )(x)
 
 
+class _ConvParams(nn.Module):
+    """Parameter container shaped/named exactly like ``nn.Conv(name=...)``
+    so checkpoints and converters are unaffected by the fused upsample."""
+
+    kernel_shape: tuple
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), self.kernel_shape, self.param_dtype
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros_init(), (self.kernel_shape[-1],), self.param_dtype
+        )
+        return kernel, bias
+
+
 class Upsample(nn.Module):
+    """nearest-2x + 3x3 conv, dispatched through ``ops.upsample`` (subpixel
+    rewrite by default: 2.25x fewer FLOPs, no 4x-materialized intermediate)."""
+
     channels: int
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        b, h, w, c = x.shape
-        # nearest-2x via broadcast+reshape: pure layout movement; XLA lowers
-        # jax.image.resize(nearest) to a gather, which is slow on TPU
-        x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
-        x = x.reshape(b, h * 2, w * 2, c)
-        return nn.Conv(
-            self.channels,
-            (3, 3),
-            padding=((1, 1), (1, 1)),
-            dtype=self.dtype,
-            param_dtype=self.param_dtype,
-            name="conv",
-        )(x)
+        from ..ops.upsample import upsample2x_conv3x3
+
+        c = x.shape[-1]
+        kernel, bias = _ConvParams((3, 3, c, self.channels), self.param_dtype, name="conv")()
+        return upsample2x_conv3x3(
+            x.astype(self.dtype), kernel.astype(self.dtype), bias.astype(self.dtype)
+        )

@@ -12,10 +12,11 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-_USE_PALLAS = False
+_USE_PALLAS = True
 # pallas wins only once the activation is large enough that the extra HBM
 # pass dominates (measured on v5e: VAE-decoder 512^2 x128 3.4ms vs 3.9ms
-# XLA; small UNet shapes lose) — gate by element count
+# XLA; small UNet shapes lose) — gate by element count. On by default
+# since round 2: the gate keeps it to decoder-scale activations.
 _PALLAS_MIN_ELEMS = 4 * 1024 * 1024
 
 

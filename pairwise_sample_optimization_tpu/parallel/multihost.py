@@ -23,18 +23,24 @@ _initialized = False
 
 def maybe_initialize_distributed() -> bool:
     """Idempotently initialize jax.distributed when configured. Returns
-    True if a multi-process runtime is (now) active."""
+    True if a multi-process runtime is (now) active.
+
+    Ordering matters: ``jax.distributed.initialize`` must run BEFORE the
+    first backend query (``jax.devices()``/``process_count()`` freeze the
+    runtime) — so the env check comes first and the backend is only
+    touched afterwards.
+    """
     global _initialized
-    if _initialized or jax.process_count() > 1:
+    if not _initialized:
+        coord = os.environ.get("PSO_COORDINATOR")
+        if coord:
+            jax.distributed.initialize(
+                coordinator_address=coord,
+                num_processes=int(os.environ["PSO_NUM_PROCESSES"]),
+                process_id=int(os.environ["PSO_PROCESS_ID"]),
+            )
+        elif os.environ.get("JAX_COORDINATOR_ADDRESS"):
+            # standard JAX cluster envs (auto-detected on Cloud TPU pods)
+            jax.distributed.initialize()
         _initialized = True
-        return True
-    coord = os.environ.get("PSO_COORDINATOR")
-    if not coord:
-        return False
-    jax.distributed.initialize(
-        coordinator_address=coord,
-        num_processes=int(os.environ["PSO_NUM_PROCESSES"]),
-        process_id=int(os.environ["PSO_PROCESS_ID"]),
-    )
-    _initialized = True
-    return True
+    return jax.process_count() > 1

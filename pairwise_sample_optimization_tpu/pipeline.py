@@ -264,7 +264,11 @@ class SDXLPipeline:
         time_ids = compute_time_ids(embeds.shape[0], self.resolution)
         return {"embeds": embeds, "pooled": pooled, "time_ids": time_ids}
 
-    def decode(self, latents):
+    def decode(self, latents, vae_variables=None):
+        """Pass ``vae_variables`` explicitly when composing jitted programs —
+        a closure capture would bake the (GB-scale) weights into the
+        executable as constants."""
+        vv = vae_variables if vae_variables is not None else self.vae_variables
         if self.decode_chunk and latents.shape[0] > self.decode_chunk:
             assert latents.shape[0] % self.decode_chunk == 0, (
                 latents.shape[0], self.decode_chunk,
@@ -273,13 +277,11 @@ class SDXLPipeline:
                 (-1, self.decode_chunk) + latents.shape[1:]
             )
             images = jax.lax.map(
-                lambda z: self.vae.apply(
-                    self.vae_variables, z, method=self.vae.decode
-                ),
+                lambda z: self.vae.apply(vv, z, method=self.vae.decode),
                 chunks,
             )
             return images.reshape((-1,) + images.shape[2:])
-        return self.vae.apply(self.vae_variables, latents, method=self.vae.decode)
+        return self.vae.apply(vv, latents, method=self.vae.decode)
 
     def generate(
         self,
@@ -287,21 +289,29 @@ class SDXLPipeline:
         key: jax.Array,
         num_steps: int = 4,
         lora_scale: float = 1.0,
+        unet_variables=None,
+        vae_variables=None,
     ):
-        """Turbo txt2img: returns images in [-1, 1], (B, H, W, 3)."""
+        """Turbo txt2img: returns images in [-1, 1], (B, H, W, 3).
+
+        ``unet_variables``/``vae_variables`` override the bundle's weights;
+        pass them as jit arguments (e.g. the live train-state LoRA) instead
+        of mutating the bundle at trace time.
+        """
         schedule = make_euler_ancestral_schedule(num_steps)
         b = cond["embeds"].shape[0]
         hw = self.latent_hw
+        uv = unet_variables if unet_variables is not None else self.unet_variables
         k_init, k_traj = jax.random.split(key)
         init = jax.random.normal(
             k_init, (b, hw, hw, self.unet_config.in_channels), jnp.float32
         )
 
         def eps_fn(x, t):
-            return self.unet_apply(self.unet_variables, x, t, cond, lora_scale)
+            return self.unet_apply(uv, x, t, cond, lora_scale)
 
         traj = sample_turbo_trajectories(eps_fn, schedule, init, k_traj)
-        return self.decode(traj.final_latents)
+        return self.decode(traj.final_latents, vae_variables)
 
     def generate_dmd(
         self,
@@ -310,6 +320,8 @@ class SDXLPipeline:
         num_steps: int = 4,
         lora_scale: float = 1.0,
         shared_noise: bool = True,
+        unet_variables=None,
+        vae_variables=None,
     ):
         """DMD2 txt2img on the fixed lattice (e.g. [999,749,499,249]),
         guidance 0 — the reference eval protocol (``evaluate_sdxl_dmd2.py``)."""
@@ -317,15 +329,16 @@ class SDXLPipeline:
         alphas_cumprod = make_alphas_cumprod()
         b = cond["embeds"].shape[0]
         hw = self.latent_hw
+        uv = unet_variables if unet_variables is not None else self.unet_variables
         k_init, k_traj = jax.random.split(key)
         init = jax.random.normal(
             k_init, (b, hw, hw, self.unet_config.in_channels), jnp.float32
         )
 
         def eps_fn(x, t):
-            return self.unet_apply(self.unet_variables, x, t, cond, lora_scale)
+            return self.unet_apply(uv, x, t, cond, lora_scale)
 
         traj = sample_dmd_trajectories(
             eps_fn, alphas_cumprod, timesteps, init, k_traj, shared_noise=shared_noise
         )
-        return self.decode(traj.final_latents)
+        return self.decode(traj.final_latents, vae_variables)

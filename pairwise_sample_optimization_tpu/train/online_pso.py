@@ -58,12 +58,23 @@ class OnlinePSOConfig:
     # MXU-saturating call). False halves backward activation memory (the
     # ref half is grad-free) — needed at 1024^2 on 16GB chips.
     fuse_ref_pass: bool = True
+    # train the full UNet instead of LoRA (reference ``use_lora=False``,
+    # ``config_sdxl_turbo_dpo.py:36-38``): the trainable tree is the whole
+    # param tree and the frozen reference is a SEPARATE weight copy (the
+    # lora_scale=0 trick no longer applies) — doubles UNet HBM.
+    full_finetune: bool = False
 
     def __post_init__(self):
         if self.num_steps < 2:
             raise ValueError(
                 "online PSO needs >= 2 sampling steps (the single step of a "
                 "1-step sampler is deterministic — nothing stochastic to train)"
+            )
+        if self.full_finetune and self.fuse_ref_pass:
+            raise ValueError(
+                "full_finetune needs fuse_ref_pass=False: policy and reference "
+                "run different weights, so the per-sample lora_scale fusion "
+                "cannot express the reference pass"
             )
 
     @property
@@ -128,7 +139,7 @@ class OnlinePSOTrainer:
 
         return f
 
-    def _sample_pairs_impl(self, variables, cond, reward_cond, key):
+    def _sample_pairs_impl(self, variables, cond, reward_cond, key, aux_variables):
         """Sample a pair of trajectories per prompt; returns samples dict.
 
         ``cond`` leaves must have leading batch dim B; they are tiled to 2B
@@ -173,19 +184,30 @@ class OnlinePSOTrainer:
 
         images = None
         if self.decode_fn is not None:
-            images = self.decode_fn(traj.final_latents)  # (2B, H, W, 3)
+            if aux_variables is None:
+                images = self.decode_fn(traj.final_latents)  # (2B, H, W, 3)
+            else:
+                images = self.decode_fn(traj.final_latents, aux_variables)
             if self.reward_fn is not None:
                 rc2 = jax.tree.map(
                     lambda x: jnp.concatenate([x, x], 0), reward_cond
                 )
-                r = self.reward_fn(images, rc2)
+                if aux_variables is None:
+                    r = self.reward_fn(images, rc2)
+                else:
+                    r = self.reward_fn(images, rc2, aux_variables)
                 if r.ndim == 1:
                     r = r[:, None]
                 samples["rewards"] = r.reshape(2, b, -1).swapaxes(0, 1)  # (B,2,M)
         return samples, images
 
-    def sample_pairs(self, variables, cond, reward_cond, key):
-        return self._sample(variables, cond, reward_cond, key)
+    def sample_pairs(self, variables, cond, reward_cond, key, aux_variables=None):
+        """``aux_variables``: weight pytree for decode_fn/reward_fn (e.g.
+        ``{"vae": ..., "scorer": ...}``) passed as a jit ARGUMENT — a
+        closure capture would bake GBs of weights into the executable as
+        constants (duplicated HBM + slow compiles). When given, decode_fn
+        and reward_fn are called with it as an extra trailing argument."""
+        return self._sample(variables, cond, reward_cond, key, aux_variables)
 
     # ------------------------------------------------------------------ #
     # shuffling (reference ``:731-749``)
@@ -245,7 +267,14 @@ class OnlinePSOTrainer:
         t2 = jnp.tile(micro["timesteps"], 2)
         s2 = jnp.tile(micro["step_indices"], 2)
 
-        variables = {"params": params, "lora": lora}
+        if cfg.full_finetune:
+            # trainable tree IS the param tree; ``params`` holds the frozen
+            # reference copy (ref ``use_lora=False``: separate ref weights)
+            variables = {"params": lora}
+            ref_variables = {"params": params}
+        else:
+            variables = {"params": params, "lora": lora}
+            ref_variables = None
         cond2 = jax.tree.map(lambda x: jnp.tile(x, (2,) + (1,) * (x.ndim - 1)), cond)
         if cfg.fuse_ref_pass:
             inp4 = jnp.concatenate([inp, inp], axis=0)
@@ -263,7 +292,10 @@ class OnlinePSOTrainer:
             eps_pol = self.unet_apply(variables, inp, t2, cond2, 1.0)
             eps_ref = jax.lax.stop_gradient(
                 self.unet_apply(
-                    jax.lax.stop_gradient(variables), inp, t2, cond2, 0.0
+                    jax.lax.stop_gradient(
+                        ref_variables if cfg.full_finetune else variables
+                    ),
+                    inp, t2, cond2, 0.0,
                 )
             )
 

@@ -174,6 +174,79 @@ def test_inner_epochs_and_multiple_updates():
     assert abs(metrics[-1]["loss"] - np.log(2.0)) > 1e-6
 
 
+def test_full_finetune_epoch():
+    """use_lora=False path: the trainable tree is the full param tree and
+    the reference is a frozen copy (reference ``config_sdxl_turbo_dpo.py:36-38``).
+    The on-policy loss == log(2) identity must hold here too (policy and
+    frozen copy coincide on the first update)."""
+    import dataclasses
+
+    ucfg = UNetConfig.tiny(lora_rank=0)
+    model = SDXLUNet(ucfg)
+
+    def unet_apply(variables, x, t, cond, lora_scale):
+        return model.apply(
+            variables, x, t, cond["embeds"], cond["pooled"], cond["time_ids"],
+            lora_scale=lora_scale,
+        )
+
+    cfg = OnlinePSOConfig(
+        sampler="turbo", num_steps=4, train_batch_size=2, grad_accum=2,
+        full_finetune=True, fuse_ref_pass=False,
+    )
+    tx = make_optimizer(learning_rate=1e-3)
+    trainer = OnlinePSOTrainer(
+        cfg, unet_apply, tx,
+        decode_fn=lambda z: jnp.tanh(z[..., :3]),
+        reward_fn=lambda images, rc: jnp.mean(images, axis=(1, 2, 3)),
+        latent_hw=8,
+    )
+    cond = {
+        "embeds": jax.random.normal(jax.random.key(1), (B, 5, ucfg.cross_attention_dim)),
+        "pooled": jax.random.normal(jax.random.key(2), (B, ucfg.pooled_embed_dim)),
+        "time_ids": jnp.tile(jnp.array([[512, 512, 0, 0, 512, 512]]), (B, 1)),
+    }
+    variables = model.init(
+        jax.random.key(0), jnp.zeros((1, 8, 8, 4)), jnp.zeros((1,)),
+        cond["embeds"][:1], cond["pooled"][:1], cond["time_ids"][:1],
+    )
+    samples, _ = trainer.sample_pairs({"params": variables["params"]}, cond, {}, jax.random.key(10))
+    # trainable starts as a fresh copy of params; ref = original params
+    state = PSOTrainState.create(jax.tree.map(jnp.array, variables["params"]), tx)
+    before = jax.tree.map(np.asarray, state.lora)
+    state, metrics = trainer.train_epoch(
+        state, variables["params"], samples, cond, jax.random.key(11)
+    )
+    np.testing.assert_allclose(metrics[0]["loss"], np.log(2.0), rtol=1e-4)
+    moved = [
+        np.abs(a - np.asarray(b)).max()
+        for a, b in zip(jax.tree.leaves(before), jax.tree.leaves(state.lora))
+    ]
+    assert max(moved) > 0  # full params updated
+
+    # config guard: fused ref pass cannot express full finetune
+    with pytest.raises(ValueError):
+        dataclasses.replace(cfg, fuse_ref_pass=True)
+
+
+def test_sample_pairs_aux_variables():
+    """decode/reward weights threaded as jit arguments (not baked)."""
+    trainer, variables, cond = _make()
+    s0, images0 = trainer.sample_pairs(variables, cond, {}, jax.random.key(7))
+    # aux!=None retraces with the aux-aware fns (distinct pytree structure)
+    trainer.decode_fn = lambda z, aux: jnp.tanh(z[..., :3]) * aux["gain"]
+    trainer.reward_fn = lambda images, rc, aux: jnp.mean(images, axis=(1, 2, 3)) + aux["bias"]
+    aux = {"gain": jnp.asarray(2.0), "bias": jnp.asarray(1.0)}
+    s, images = trainer.sample_pairs(variables, cond, {}, jax.random.key(7), aux_variables=aux)
+    np.testing.assert_allclose(
+        np.asarray(images), 2.0 * np.asarray(images0), rtol=1e-6, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(s["rewards"]), 2.0 * np.asarray(s0["rewards"]) + 1.0,
+        rtol=1e-5, atol=1e-5,
+    )
+
+
 def test_shuffle_preserves_transition_alignment():
     """After shuffling, (latents[j], next_latents[j], step_indices[j]) must
     still be a consistent transition triple — verified via the log-prob
