@@ -10,7 +10,11 @@ from .convert import (
     flax_to_torch,
     load_torch_state_dict,
 )
-from .lora_safetensors import export_lora_safetensors, import_lora_safetensors
+from .lora_safetensors import (
+    export_lora_safetensors,
+    export_sdxl_lora_safetensors,
+    import_lora_safetensors,
+)
 from .clip_loader import load_hf_clip_dual
 
 __all__ = [
@@ -25,6 +29,7 @@ __all__ = [
     "flax_to_torch",
     "load_torch_state_dict",
     "export_lora_safetensors",
+    "export_sdxl_lora_safetensors",
     "import_lora_safetensors",
     "load_hf_clip_dual",
 ]

@@ -18,29 +18,40 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .torch_names import unet_param_map
+from .torch_names import clip_text_param_map, unet_param_map
 
 _PEFT_SUFFIX = {"a": "lora.down.weight", "b": "lora.up.weight"}
 _PEFT_ALT = {"a": "lora_A.weight", "b": "lora_B.weight"}  # raw peft layout
 
 
-def _site_key(path: Tuple[str, ...], n_levels: int) -> str:
+def _site_key(path: Tuple[str, ...], n_levels: int, site_map=None) -> str:
     """flax lora module path (without a/b leaf) -> diffusers module key."""
-    # reuse the unet map by asking for the would-be kernel of this site
-    key, _ = unet_param_map(path + ("kernel",), n_levels)
+    # reuse the param map by asking for the would-be kernel of this site
+    if site_map is None:
+        key, _ = unet_param_map(path + ("kernel",), n_levels)
+    else:
+        key, _ = site_map(path + ("kernel",))
     return key[: -len(".weight")]
 
 
 def export_lora_safetensors(
-    lora_tree, path: str | None = None, n_levels: int = 3, prefix: str = "unet."
+    lora_tree,
+    path: str | None = None,
+    n_levels: int = 3,
+    prefix: str = "unet.",
+    site_map=None,
 ) -> Dict[str, np.ndarray]:
-    """'lora' collection -> diffusers-layout dict (optionally written)."""
+    """'lora' collection -> diffusers-layout dict (optionally written).
+
+    ``site_map`` overrides the module-path naming (default: UNet); pass
+    ``clip_text_param_map`` with ``prefix='text_encoder.'`` for TE LoRA.
+    """
     out: Dict[str, np.ndarray] = {}
 
     def emit(p, leaf):
         names = tuple(x.key for x in p)
         site, ab = names[:-1], names[-1]
-        key = prefix + _site_key(site, n_levels) + "." + _PEFT_SUFFIX[ab]
+        key = prefix + _site_key(site, n_levels, site_map) + "." + _PEFT_SUFFIX[ab]
         # contiguous copy: safetensors writes raw buffers, not strided views
         out[key] = np.ascontiguousarray(
             np.asarray(leaf, np.float32).T  # (in,r)->(r,in), (r,out)->(out,r)
@@ -55,8 +66,37 @@ def export_lora_safetensors(
     return out
 
 
+def export_sdxl_lora_safetensors(
+    lora_trees: Dict[str, object], path: str | None = None, n_levels: int = 3
+) -> Dict[str, np.ndarray]:
+    """Joint {'unet': ..., 'te1': ..., 'te2': ...} LoRA trees -> ONE
+    diffusers-layout file (``StableDiffusionXLLoraLoaderMixin``
+    convention: ``unet.``/``text_encoder.``/``text_encoder_2.`` prefixes,
+    reference ``train_pso_sdxl_turbo_dreambooth.py:1374-1380``).
+    Missing keys are simply omitted (UNet-only export == the plain path).
+    """
+    spec = {
+        "unet": ("unet.", None),
+        "te1": ("text_encoder.", clip_text_param_map),
+        "te2": ("text_encoder_2.", clip_text_param_map),
+    }
+    out: Dict[str, np.ndarray] = {}
+    for name, (prefix, site_map) in spec.items():
+        if name in lora_trees and lora_trees[name] is not None:
+            out.update(
+                export_lora_safetensors(
+                    lora_trees[name], None, n_levels, prefix, site_map
+                )
+            )
+    if path is not None:
+        from safetensors.numpy import save_file
+
+        save_file(out, path)
+    return out
+
+
 def import_lora_safetensors(
-    source, abstract_lora, n_levels: int = 3, prefix: str = "unet."
+    source, abstract_lora, n_levels: int = 3, prefix: str = "unet.", site_map=None
 ):
     """diffusers-layout file/dict -> 'lora' collection tree.
 
@@ -76,7 +116,7 @@ def import_lora_safetensors(
     def fill(p, leaf):
         names = tuple(x.key for x in p)
         site, ab = names[:-1], names[-1]
-        base = prefix + _site_key(site, n_levels)
+        base = prefix + _site_key(site, n_levels, site_map)
         for suffix_map in (_PEFT_SUFFIX, _PEFT_ALT):
             key = base + "." + suffix_map[ab]
             if key in sd:

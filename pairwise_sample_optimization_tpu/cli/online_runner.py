@@ -106,6 +106,28 @@ def run_online_pso(config, sampler: str, num_epochs: Optional[int] = None):
             unet_attention_impl=config.kernels.get("unet_attention_impl", "") or None,
         )
     pipe.decode_chunk = int(config.get("vae_decode_chunk", 0))
+    if config.pretrained.vae_dir:
+        # separate VAE weights (the fp16-fix VAE swap the reference does by
+        # loading ``madebyollin/sdxl-vae-fp16-fix``-style checkpoints)
+        import functools as _ft
+
+        from ..checkpoints import load_torch_state_dict, torch_to_flax, vae_param_map
+
+        vae_path = config.pretrained.vae_dir
+        if os.path.isdir(vae_path):
+            cands = [
+                f for f in sorted(os.listdir(vae_path))
+                if f.endswith((".safetensors", ".bin"))
+            ]
+            vae_path = os.path.join(vae_path, cands[0])
+        sd = load_torch_state_dict(vae_path)
+        nm = _ft.partial(
+            vae_param_map, n_levels=len(pipe.vae.config.block_out_channels)
+        )
+        pipe.vae_variables["params"], _ = torch_to_flax(
+            sd, pipe.vae_variables["params"], nm, strict=True
+        )
+        logger.info("loaded VAE weights from %s", config.pretrained.vae_dir)
 
     sc_kwargs = (
         {}
@@ -227,7 +249,8 @@ def run_online_pso(config, sampler: str, num_epochs: Optional[int] = None):
         **sc_kwargs,
     )
     val_dataset = PromptDataset(
-        config.val_dataset if os.path.exists(str(config.val_dataset)) else None
+        config.val_dataset if os.path.exists(str(config.val_dataset)) else None,
+        split=config.get("val_split_name", None),
     )
     val_prompts = val_dataset.prompts[: config.val_max_prompts]
 

@@ -7,6 +7,19 @@ generates for the class prompt at step 0 (reference ``negative_sample``,
 TPU-native difference: instance/negative VAE moments are precomputed once
 and re-sampled on device per step — no per-step host image loading.
 
+Full feature parity with the reference trainer:
+- gradient accumulation (``:1123,1720``) — a lax.scan inside one jitted
+  update;
+- text-encoder LoRA training (``--train_text_encoder``, ``:1330-1339``)
+  with a separate ``--text_encoder_lr`` (``:1460-1474``);
+- the 25-prompt validation suite every ``--validation_steps``
+  (``:157-293``), images saved under ``gen_<step>/p_xxx/``;
+- resume (``--resume_from_checkpoint``; the reference parses it at
+  ``:547-555`` but forces ``initial_global_step = 0`` — wired for real
+  here);
+- EDM / EulerDiscrete / DDPM scheduler spaces (``--scheduler_space``;
+  reference auto-detection ``:1229-1240``).
+
 Usage:
   python -m pairwise_sample_optimization_tpu.cli.train_pso_sdxl_turbo_dreambooth \
       --instance_data_dir dog/ --instance_prompt "a photo of sks dog" \
@@ -16,17 +29,29 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import functools
 import os
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+import optax
 
-from ..checkpoints import export_lora_safetensors, save_train_state
+from ..checkpoints import (
+    export_sdxl_lora_safetensors,
+    latest_checkpoint,
+    restore_train_state,
+    save_train_state,
+)
 from ..data import CLIPTokenizer, HashTokenizer
 from ..data.dreambooth import DreamBoothDataset
+from ..models.sdxl_text import compute_time_ids
 from ..pipeline import SDXLPipeline
-from ..train import PSOTrainState, make_optimizer
+from ..train import PSOTrainState
+from ..train.db_validation import (
+    dreambooth_validation_prompts,
+    run_dreambooth_validation,
+)
 from ..train.dreambooth_pso import DreamBoothPSOConfig, DreamBoothPSOTrainer
 from ..utils import MetricLogger, get_logger
 
@@ -48,11 +73,25 @@ def parse_args(argv=None):
     p.add_argument("--train_batch_size", type=int, default=1)
     p.add_argument("--gradient_accumulation_steps", type=int, default=4)
     p.add_argument("--learning_rate", type=float, default=2e-4)
+    p.add_argument("--text_encoder_lr", type=float, default=5e-6)
+    p.add_argument("--train_text_encoder", action="store_true")
     p.add_argument("--adam_weight_decay", type=float, default=1e-4)
     p.add_argument("--max_grad_norm", type=float, default=1.0)
     p.add_argument("--max_train_steps", type=int, default=1600)
     p.add_argument("--rank", type=int, default=16, help="LoRA rank")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--resume_from_checkpoint", default="",
+                   help="checkpoint dir, or 'latest' to scan output_dir")
+    # scheduler space (reference auto-detect :1229-1240 + --do_edm_style_training)
+    p.add_argument("--scheduler_space", choices=["euler_edm", "edm", "ddpm"],
+                   default="euler_edm",
+                   help="euler_edm = the reference scripts' branch "
+                        "(--do_edm_style_training on EulerDiscrete)")
+    p.add_argument("--prediction_type", choices=["epsilon", "v_prediction"],
+                   default="epsilon")
+    p.add_argument("--direct_timestep_indexing", action="store_true",
+                   help="use lattice values as timesteps directly instead of "
+                        "the reference's descending-table indexing")
     # PSO
     p.add_argument("--loss_type", choices=["pso", "pso_db"], default="pso_db")
     p.add_argument("--beta_pso", type=float, default=5.0)
@@ -60,13 +99,37 @@ def parse_args(argv=None):
     p.add_argument("--num_negatives", type=int, default=20)
     p.add_argument("--prior_loss_weight", type=float, default=0.5)
     p.add_argument("--distill_train_timesteps", type=int, default=4)
-    # logging / ckpt
+    # validation (reference log_validation :157-293)
     p.add_argument("--checkpointing_steps", type=int, default=500)
     p.add_argument("--validation_steps", type=int, default=500)
     p.add_argument("--num_validation_images", type=int, default=4)
+    p.add_argument("--unique_token", default="sks")
+    p.add_argument("--class_name", default="",
+                   help="defaults to the last word of --class_prompt")
+    p.add_argument("--is_object", action="store_true",
+                   help="object prompt list (vs live-subject outfits list)")
+    p.add_argument("--skip_validation", action="store_true")
     p.add_argument("--use_wandb", action="store_true")
     p.add_argument("--tiny", action="store_true", help="toy models (smoke/CI)")
     return p.parse_args(argv)
+
+
+def _make_optimizer(args):
+    """AdamW + global-norm clip; separate TE learning rate when the text
+    encoders train (reference params_to_optimize, ``:1458-1474``).
+    The clip is GLOBAL over the joint tree (ref ``:1953-1958``)."""
+    kw = dict(b1=0.9, b2=0.999, eps=1e-8, weight_decay=args.adam_weight_decay)
+    if args.train_text_encoder and args.text_encoder_lr != args.learning_rate:
+        inner = optax.multi_transform(
+            {
+                "unet": optax.adamw(args.learning_rate, **kw),
+                "te": optax.adamw(args.text_encoder_lr, **kw),
+            },
+            param_labels={"unet": "unet", "te1": "te", "te2": "te"},
+        )
+    else:
+        inner = optax.adamw(args.learning_rate, **kw)
+    return optax.chain(optax.clip_by_global_norm(args.max_grad_norm), inner)
 
 
 def main(argv=None):
@@ -75,6 +138,7 @@ def main(argv=None):
     from ..utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
+    te_lora_rank = args.rank if args.train_text_encoder else 0
 
     # ---- pipeline ----
     if args.pretrained_model_dir:
@@ -83,12 +147,13 @@ def main(argv=None):
             lora_rank=args.rank,
             resolution=args.resolution,
             bpe_path=args.bpe_path,
+            te_lora_rank=te_lora_rank,
         )
     else:
         logger.warning("no --pretrained_model_dir: random weights (smoke mode)")
         pipe = SDXLPipeline.random(
             lora_rank=args.rank, resolution=args.resolution,
-            bpe_path=args.bpe_path, tiny=args.tiny,
+            bpe_path=args.bpe_path, tiny=args.tiny, te_lora_rank=te_lora_rank,
         )
 
     if args.bpe_path and os.path.exists(args.bpe_path):
@@ -127,6 +192,24 @@ def main(argv=None):
     neg_px = jnp.asarray(np.stack(negs))
     neg_mean, neg_logvar = encode_image(neg_px)
 
+    # ---- prompt encoding for the trainer ----
+    def encode_with_te_lora(te_params, te_loras, ids1, ids2):
+        """Re-encode prompts with live TE LoRA (gradients flow)."""
+        out1 = pipe.te1.apply(
+            {"params": te_params["te1"], "lora": te_loras["te1"]}, ids1
+        )
+        out2 = pipe.te2.apply(
+            {"params": te_params["te2"], "lora": te_loras["te2"]}, ids2
+        )
+        embeds = jnp.concatenate(
+            [out1["penultimate"], out2["penultimate"]], axis=-1
+        )
+        return {
+            "embeds": embeds,
+            "pooled": out2["projected"],
+            "time_ids": compute_time_ids(ids1.shape[0], args.resolution),
+        }
+
     # ---- trainer ----
     cfg = DreamBoothPSOConfig(
         loss_type=args.loss_type,
@@ -134,19 +217,56 @@ def main(argv=None):
         neg_defactor=args.neg_defactor,
         prior_loss_weight=args.prior_loss_weight,
         distill_train_timesteps=args.distill_train_timesteps,
+        scheduler_space=args.scheduler_space,
+        prediction_type=args.prediction_type,
+        descending_table=not args.direct_timestep_indexing,
+        grad_accum=args.gradient_accumulation_steps,
+        train_text_encoder=args.train_text_encoder,
     )
-    tx = make_optimizer(
-        learning_rate=args.learning_rate,
-        weight_decay=args.adam_weight_decay,
-        max_grad_norm=args.max_grad_norm,
+    tx = _make_optimizer(args)
+    trainer = DreamBoothPSOTrainer(
+        cfg, pipe.unet_apply, tx,
+        encode_prompt=encode_with_te_lora if args.train_text_encoder else None,
     )
-    trainer = DreamBoothPSOTrainer(cfg, pipe.unet_apply, tx)
-    state = PSOTrainState.create(pipe.unet_variables["lora"], tx)
+    if args.train_text_encoder:
+        lora0 = {
+            "unet": pipe.unet_variables["lora"],
+            "te1": pipe.te1_variables["lora"],
+            "te2": pipe.te2_variables["lora"],
+        }
+        train_params = {
+            "unet": pipe.unet_variables["params"],
+            "te1": pipe.te1_variables["params"],
+            "te2": pipe.te2_variables["params"],
+        }
+    else:
+        lora0 = pipe.unet_variables["lora"]
+        train_params = pipe.unet_variables["params"]
+    state = PSOTrainState.create(lora0, tx)
 
-    inst_cond = encode_text(
-        jnp.asarray(tok1([args.instance_prompt] * args.train_batch_size)),
-        jnp.asarray(tok2([args.instance_prompt] * args.train_batch_size)),
-    )
+    # ---- resume ----
+    start_step = 0
+    if args.resume_from_checkpoint:
+        path = (
+            latest_checkpoint(args.output_dir)
+            if args.resume_from_checkpoint == "latest"
+            else args.resume_from_checkpoint
+        )
+        if path:
+            state, extra = restore_train_state(path, state, {"step": 0})
+            start_step = int(extra.get("step", int(state.step)))
+            logger.info("resumed from %s at step %d", path, start_step)
+        else:
+            logger.warning("no checkpoint found to resume from; starting fresh")
+
+    ga, b = args.gradient_accumulation_steps, args.train_batch_size
+    ids1 = jnp.asarray(tok1([args.instance_prompt] * b))
+    ids2 = jnp.asarray(tok2([args.instance_prompt] * b))
+    inst_cond = encode_text(ids1, ids2)
+
+    def microbatched(x):
+        """(ga*b, ...) -> (ga, b, ...) when accumulating, else identity."""
+        return x.reshape((ga, b) + x.shape[1:]) if ga > 1 else x
 
     @jax.jit
     def draw_latents(mean, logvar, idx, key):
@@ -155,36 +275,78 @@ def main(argv=None):
         z = m + jnp.exp(0.5 * lv) * jax.random.normal(key, m.shape, m.dtype)
         return (z * scaling).astype(jnp.float32)
 
+    # ---- validation ----
+    class_name = args.class_name or (class_prompt.split()[-1] if class_prompt else "thing")
+    val_prompts = dreambooth_validation_prompts(
+        args.unique_token, class_name, args.is_object
+    )
+
+    def val_generate(prompt, key, n):
+        c = encode_text(
+            jnp.asarray(tok1([prompt] * n)), jnp.asarray(tok2([prompt] * n))
+        )
+        unet_lora = state.lora["unet"] if args.train_text_encoder else state.lora
+        return pipe.generate(
+            c, key, num_steps=4,
+            unet_variables={"params": pipe.unet_variables["params"], "lora": unet_lora},
+        )
+
+    def save_all(step1):
+        path = save_train_state(args.output_dir, step1, state, {"step": step1})
+        lora_dir = os.path.join(args.output_dir, f"lora-{step1}")
+        os.makedirs(lora_dir, exist_ok=True)
+        trees = (
+            dict(state.lora)
+            if args.train_text_encoder
+            else {"unet": state.lora}
+        )
+        export_sdxl_lora_safetensors(
+            trees, os.path.join(lora_dir, "pytorch_lora_weights.safetensors")
+        )
+        logger.info("saved %s", path)
+
     mlog = MetricLogger(args.output_dir, "dreambooth_pso", use_wandb=args.use_wandb)
-    rng = np.random.default_rng(args.seed)
+    rng = np.random.default_rng(args.seed + start_step)
     root = jax.random.key(args.seed)
 
-    for step in range(args.max_train_steps):
+    for step in range(start_step, args.max_train_steps):
         k = jax.random.fold_in(root, step)
         ki, kn, ku = jax.random.split(k, 3)
+        n_draw = ga * b
         inst_idx = jnp.asarray(
-            rng.choice(len(dataset), args.train_batch_size, replace=len(dataset) < args.train_batch_size)
+            rng.choice(len(dataset), n_draw, replace=len(dataset) < n_draw)
         )
         neg_idx = jnp.asarray(
-            rng.choice(args.num_negatives, args.train_batch_size, replace=False)
+            rng.choice(args.num_negatives, n_draw, replace=args.num_negatives < n_draw)
         )
         batch = {
-            "instance_latents": draw_latents(inst_mean, inst_logvar, inst_idx, ki),
-            "negative_latents": draw_latents(neg_mean, neg_logvar, neg_idx, kn),
-            "cond": inst_cond,
+            "instance_latents": microbatched(
+                draw_latents(inst_mean, inst_logvar, inst_idx, ki)
+            ),
+            "negative_latents": microbatched(
+                draw_latents(neg_mean, neg_logvar, neg_idx, kn)
+            ),
         }
-        state, aux = trainer.update(state, pipe.unet_variables["params"], batch, ku)
+        if args.train_text_encoder:
+            batch["input_ids_one"] = microbatched(jnp.tile(ids1, (ga, 1)))
+            batch["input_ids_two"] = microbatched(jnp.tile(ids2, (ga, 1)))
+        else:
+            batch["cond"] = jax.tree.map(
+                lambda x: microbatched(jnp.tile(x, (ga,) + (1,) * (x.ndim - 1))),
+                inst_cond,
+            )
+        state, aux = trainer.update(state, train_params, batch, ku)
 
         if (step + 1) % 10 == 0 or step == 0:
             mlog.log_metrics({k2: float(v) for k2, v in aux.items()}, step + 1)
         if (step + 1) % args.checkpointing_steps == 0 or step + 1 == args.max_train_steps:
-            path = save_train_state(args.output_dir, step + 1, state, {"step": step + 1})
-            lora_dir = os.path.join(args.output_dir, f"lora-{step + 1}")
-            os.makedirs(lora_dir, exist_ok=True)
-            export_lora_safetensors(
-                state.lora, os.path.join(lora_dir, "pytorch_lora_weights.safetensors")
+            save_all(step + 1)
+        if not args.skip_validation and (step + 1) % args.validation_steps == 0:
+            root_dir = run_dreambooth_validation(
+                val_generate, val_prompts, args.output_dir, step + 1,
+                num_images_per_prompt=args.num_validation_images, seed=args.seed,
             )
-            logger.info("saved %s", path)
+            logger.info("validation images at %s", root_dir)
 
     mlog.close()
     return state

@@ -42,11 +42,28 @@ _BUILTIN_PROMPTS = [
 
 
 class PromptDataset:
-    def __init__(self, json_path: Optional[str] = None, caption_key: str = "caption"):
+    def __init__(
+        self,
+        json_path: Optional[str] = None,
+        caption_key: str = "caption",
+        split: Optional[str] = None,
+    ):
+        """``split`` selects a named split when the JSON is a dict of
+        splits (the PickaPic ``test_unique`` export layout, reference
+        ``split=config.val_split_name``); ignored for plain lists."""
         if json_path and os.path.exists(json_path):
             with open(json_path) as f:
                 meta = json.load(f)
-            self.prompts = [m[caption_key] for m in meta]
+            if isinstance(meta, dict):
+                if split is None or split not in meta:
+                    raise KeyError(
+                        f"{json_path} is a dict of splits {list(meta)}; "
+                        f"requested split={split!r}"
+                    )
+                meta = meta[split]
+            self.prompts = [
+                m[caption_key] if isinstance(m, dict) else str(m) for m in meta
+            ]
         else:
             self.prompts = list(_BUILTIN_PROMPTS)
 

@@ -34,6 +34,9 @@ class CLIPTextConfig:
     heads: int = 12
     max_positions: int = 77
     act: str = "quick_gelu"  # or "gelu"
+    # HF CLIP layer_norm_eps (transformers default 1e-5; flax's 1e-6
+    # default measurably diverges — caught by tests/test_torch_parity.py)
+    norm_eps: float = 1e-5
     projection_dim: Optional[int] = None  # None = no text_projection
     # LoRA on the attention q/k/v/out projections (the DreamBooth
     # --train_text_encoder option, reference ``:1206-1339``)
@@ -78,6 +81,7 @@ class CLIPVisionConfig:
     layers: int = 32
     heads: int = 16
     act: str = "gelu"
+    norm_eps: float = 1e-5
     projection_dim: int = 1024
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.float32
@@ -116,6 +120,7 @@ class CLIPEncoderLayer(nn.Module):
     dtype: jnp.dtype
     param_dtype: jnp.dtype
     lora_rank: int = 0
+    norm_eps: float = 1e-5
 
     @nn.compact
     def __call__(self, x, causal: bool, lora_scale=1.0):
@@ -132,7 +137,10 @@ class CLIPEncoderLayer(nn.Module):
             param_dtype=self.param_dtype,
             name=name,
         )
-        ln = lambda name: nn.LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype, name=name)
+        ln = lambda name: nn.LayerNorm(
+            epsilon=self.norm_eps, dtype=self.dtype,
+            param_dtype=self.param_dtype, name=name,
+        )
         head_dim = self.width // self.heads
 
         h = ln("norm1")(x)
@@ -179,12 +187,13 @@ class CLIPTextTower(nn.Module):
         for i in range(cfg.layers):
             x = CLIPEncoderLayer(
                 cfg.width, cfg.heads, cfg.act, cfg.dtype, cfg.param_dtype,
-                lora_rank=cfg.lora_rank, name=f"layer_{i}",
+                lora_rank=cfg.lora_rank, norm_eps=cfg.norm_eps, name=f"layer_{i}",
             )(x, causal=True, lora_scale=lora_scale)
             hiddens.append(x)
 
         final = nn.LayerNorm(
-            dtype=cfg.dtype, param_dtype=cfg.param_dtype, name="final_norm"
+            epsilon=cfg.norm_eps, dtype=cfg.dtype, param_dtype=cfg.param_dtype,
+            name="final_norm",
         )(x)
 
         # pooled = final-LN state at the EOS token (highest token id)
@@ -241,16 +250,20 @@ class CLIPVisionTower(nn.Module):
             cfg.param_dtype,
         )
         x = x + pos[None].astype(cfg.dtype)
-        x = nn.LayerNorm(dtype=cfg.dtype, param_dtype=cfg.param_dtype, name="pre_norm")(x)
+        x = nn.LayerNorm(
+            epsilon=cfg.norm_eps, dtype=cfg.dtype, param_dtype=cfg.param_dtype,
+            name="pre_norm",
+        )(x)
 
         for i in range(cfg.layers):
             x = CLIPEncoderLayer(
                 cfg.width, cfg.heads, cfg.act, cfg.dtype, cfg.param_dtype,
-                name=f"layer_{i}",
+                norm_eps=cfg.norm_eps, name=f"layer_{i}",
             )(x, causal=False)
 
         pooled = nn.LayerNorm(
-            dtype=cfg.dtype, param_dtype=cfg.param_dtype, name="post_norm"
+            epsilon=cfg.norm_eps, dtype=cfg.dtype, param_dtype=cfg.param_dtype,
+            name="post_norm",
         )(x[:, 0])
         return nn.Dense(
             cfg.projection_dim, use_bias=False, dtype=cfg.dtype,

@@ -52,6 +52,26 @@ def make_alphas_cumprod(cfg: NoiseScheduleConfig = NoiseScheduleConfig()) -> jnp
     return jnp.asarray(np.cumprod(1.0 - betas), dtype=jnp.float32)
 
 
+def make_karras_sigmas(
+    num_train_timesteps: int = 1000,
+    sigma_min: float = 0.002,
+    sigma_max: float = 80.0,
+    rho: float = 7.0,
+) -> jnp.ndarray:
+    """(T,) Karras et al. (2022) sigma ramp, ascending with index.
+
+    Matches diffusers ``EDMEulerScheduler``'s training table (its
+    ``sigmas`` are stored descending alongside descending timesteps; we
+    store ascending-with-t so ``sigmas[t]`` pairs with timestep ``t`` the
+    same way the VE table in :func:`make_alphas_cumprod` does).
+    """
+    ramp = np.linspace(0.0, 1.0, num_train_timesteps, dtype=np.float64)
+    min_inv_rho = sigma_min ** (1.0 / rho)
+    max_inv_rho = sigma_max ** (1.0 / rho)
+    sigmas = (min_inv_rho + ramp * (max_inv_rho - min_inv_rho)) ** rho
+    return jnp.asarray(sigmas, jnp.float32)
+
+
 def distill_timesteps(num_steps: int, num_train_timesteps: int = 1000) -> np.ndarray:
     """DMD2 fixed timestep lattice, descending: e.g. n=4 -> [999,749,499,249]."""
     step_ratio = num_train_timesteps // num_steps

@@ -92,6 +92,7 @@ class SDXLPipeline:
         param_dtype=None,
         remat: bool | str = False,
         unet_attention_impl: str | None = None,
+        te_lora_rank: int = 0,
     ) -> "SDXLPipeline":
         """``fast_init=True`` fills params with zeros from eval_shape instead
         of compiling the (huge) random-init program — seconds instead of
@@ -136,6 +137,10 @@ class SDXLPipeline:
             ucfg = dataclasses.replace(ucfg, remat=remat)
         if unet_attention_impl:
             ucfg = dataclasses.replace(ucfg, attention_impl=unet_attention_impl)
+        if te_lora_rank:
+            # TE LoRA training (ref --train_text_encoder, dreambooth :1330-1339)
+            t1cfg = dataclasses.replace(t1cfg, lora_rank=te_lora_rank)
+            t2cfg = dataclasses.replace(t2cfg, lora_rank=te_lora_rank)
 
         latent_hw = resolution // 8
         unet = SDXLUNet(ucfg)
@@ -188,6 +193,7 @@ class SDXLPipeline:
         tiny: bool = False,
         param_dtype=None,
         remat: bool = False,
+        te_lora_rank: int = 0,
     ) -> "SDXLPipeline":
         """Port a local diffusers checkpoint directory (unet/, vae/,
         text_encoder/, text_encoder_2/ with .safetensors or .bin files)."""
@@ -200,6 +206,7 @@ class SDXLPipeline:
             tiny=tiny,
             param_dtype=param_dtype,
             remat=remat,
+            te_lora_rank=te_lora_rank,
         )
         n_unet_levels = len(pipe.unet_config.block_out_channels)
         n_vae_levels = len(pipe.vae.config.block_out_channels)

@@ -1,0 +1,178 @@
+"""Full online-PSO loop A/B bench on the real chip (hard-sync timing).
+
+Measures the two phases of one epoch — pair sampling (incl. decode +
+PickScore) and the DPO update — at the reference workload shape
+(512^2, 4-step sample / 3 trained, sample bs 4 x 4 batches, train bs 4,
+ga 2, LoRA r=32). Weights are random (throughput is value-independent).
+
+Knobs via env:
+  PSO_FUSE_REF=1|0     fuse policy+ref into one 4b apply (default 1)
+  PSO_REMAT=full|resnets|none
+  PSO_ATTN=xla|pallas  unet attention impl (default xla)
+  PSO_RES=512          resolution
+  PSO_STEPS=4          sampling steps
+
+Usage: python -u scripts/bench_full_loop.py
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+SAMPLER = os.environ.get("PSO_SAMPLER", "turbo")  # turbo | dmd
+FUSE = os.environ.get("PSO_FUSE_REF", "1") == "1"
+REMAT = os.environ.get("PSO_REMAT", "full")
+ATTN = os.environ.get("PSO_ATTN", "xla")
+RES = int(os.environ.get("PSO_RES", "1024" if SAMPLER == "dmd" else "512"))
+STEPS = int(os.environ.get("PSO_STEPS", "4"))
+SAMPLE_BS = int(os.environ.get("PSO_SAMPLE_BS", "2" if SAMPLER == "dmd" else "4"))
+N_BATCHES = int(os.environ.get("PSO_N_BATCHES", "2" if SAMPLER == "dmd" else "4"))
+TRAIN_BS = int(os.environ.get("PSO_TRAIN_BS", "1" if SAMPLER == "dmd" else "4"))
+GA = int(os.environ.get("PSO_GA", "4" if SAMPLER == "dmd" else "2"))
+DECODE_CHUNK = int(os.environ.get("PSO_DECODE_CHUNK", "2" if SAMPLER == "dmd" else "0"))
+
+
+def main():
+    from pairwise_sample_optimization_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    from pairwise_sample_optimization_tpu.models.clip import (
+        CLIPTextConfig,
+        CLIPVisionConfig,
+    )
+    from pairwise_sample_optimization_tpu.pipeline import SDXLPipeline
+    from pairwise_sample_optimization_tpu.rewards import PickScoreScorer
+    from pairwise_sample_optimization_tpu.train import (
+        OnlinePSOConfig,
+        OnlinePSOTrainer,
+        PSOTrainState,
+        make_optimizer,
+    )
+
+    remat = REMAT if REMAT in ("full", "resnets") else False
+    pipe = SDXLPipeline.random(
+        lora_rank=32,
+        dtype=jnp.bfloat16,
+        resolution=RES,
+        fast_init=True,
+        param_dtype=jnp.bfloat16,
+        remat=remat,
+        unet_attention_impl=(ATTN if ATTN != "xla" else None),
+    )
+    pipe.decode_chunk = DECODE_CHUNK
+    scorer = PickScoreScorer(
+        text_config=CLIPTextConfig.vit_h14(),
+        vision_config=CLIPVisionConfig.vit_h14(),
+        fast_init=True,
+        param_dtype=jnp.bfloat16,
+    )
+
+    def decode_fn(latents, aux):
+        return pipe.decode(latents, aux["vae"])
+
+    def reward_fn(images, reward_cond, aux):
+        img = scorer._image_features_v(aux["scorer"], images)
+        return jnp.sum(reward_cond["text_features"] * img, axis=-1)
+
+    ocfg = OnlinePSOConfig(
+        sampler=SAMPLER,
+        num_steps=STEPS,
+        train_batch_size=TRAIN_BS,
+        grad_accum=GA,
+        compare="sample" if SAMPLER == "turbo" else "pareto",
+        fuse_ref_pass=FUSE,
+    )
+    trainer = OnlinePSOTrainer(
+        ocfg,
+        pipe.unet_apply,
+        make_optimizer(),
+        decode_fn=decode_fn,
+        reward_fn=reward_fn,
+        latent_hw=RES // 8,
+    )
+    aux_vars = {"vae": pipe.vae_variables, "scorer": scorer.variables}
+    state = PSOTrainState.create(pipe.unet_variables["lora"], make_optimizer())
+
+    ids1 = jnp.ones((SAMPLE_BS, 77), jnp.int32)
+    ids2 = jnp.ones((SAMPLE_BS, 77), jnp.int32)
+    from pairwise_sample_optimization_tpu.models.sdxl_text import (
+        compute_time_ids,
+        encode_sdxl_prompt,
+    )
+
+    @jax.jit
+    def encode(te1_vars, te2_vars, i1, i2):  # weights as jit args, not constants
+        e, p = encode_sdxl_prompt(pipe.te1, te1_vars, pipe.te2, te2_vars, i1, i2)
+        return {
+            "embeds": e, "pooled": p,
+            "time_ids": compute_time_ids(i1.shape[0], RES),
+        }
+
+    text_feats = jax.jit(scorer._text_features_v)  # weights as jit args
+    cond = encode(pipe.te1_variables, pipe.te2_variables, ids1, ids2)
+    rc = {
+        "text_features": text_feats(
+            scorer.variables, jnp.ones((SAMPLE_BS, 77), jnp.int32)
+        )
+    }
+
+    def one_epoch(state, key, sync=False):
+        t0 = time.perf_counter()
+        all_s, all_c = [], []
+        for b_idx in range(N_BATCHES):
+            samples, _ = trainer.sample_pairs(
+                {"params": pipe.unet_variables["params"], "lora": state.lora},
+                cond, rc, jax.random.fold_in(key, b_idx), aux_variables=aux_vars,
+            )
+            all_s.append(samples)
+            all_c.append(cond)
+        samples = jax.tree.map(lambda *xs: jnp.concatenate(xs, 0), *all_s)
+        c = jax.tree.map(lambda *xs: jnp.concatenate(xs, 0), *all_c)
+        np.asarray(samples["log_probs"])  # hard sync (axon: readback only)
+        t1 = time.perf_counter()
+        state, metrics = trainer.train_epoch(
+            state, pipe.unet_variables["params"], samples, c,
+            jax.random.fold_in(key, 999),
+        )
+        np.asarray(jax.tree.leaves(state.lora)[0])  # hard sync
+        t2 = time.perf_counter()
+        return state, t1 - t0, t2 - t1, metrics
+
+    # compile + warm
+    state, ts, tu, m = one_epoch(state, jax.random.key(0))
+    print(f"warm: sample {ts:.2f}s update {tu:.2f}s loss={m[0]['loss']:.4f}")
+
+    n = 3
+    t_s, t_u = [], []
+    for i in range(n):
+        state, ts, tu, _ = one_epoch(state, jax.random.key(i + 1))
+        t_s.append(ts)
+        t_u.append(tu)
+    ts, tu = float(np.median(t_s)), float(np.median(t_u))
+    pairs = SAMPLE_BS * N_BATCHES
+    print(
+        json.dumps(
+            {
+                "sampler": SAMPLER,
+                "fuse_ref_pass": FUSE,
+                "remat": REMAT,
+                "attn": ATTN,
+                "resolution": RES,
+                "sample_s": round(ts, 3),
+                "update_s": round(tu, 3),
+                "pairs_per_s": round(pairs / (ts + tu), 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

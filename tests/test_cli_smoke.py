@@ -183,3 +183,78 @@ def test_dreambooth_cli_tiny(tmp_path):
     assert os.path.exists(
         tmp_path / "out" / "lora-2" / "pytorch_lora_weights.safetensors"
     )
+
+
+def test_dreambooth_cli_validation_te_lora_and_resume(tmp_path):
+    """Full parity tail in one tiny run: grad accum, TE-LoRA training,
+    the 25-prompt validation suite, and resume-from-checkpoint."""
+    from PIL import Image
+
+    from pairwise_sample_optimization_tpu.cli.train_pso_sdxl_turbo_dreambooth import (
+        main,
+    )
+
+    d = tmp_path / "instance"
+    d.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(2):
+        Image.fromarray(
+            rng.integers(0, 255, (24, 24, 3), dtype=np.uint8)
+        ).save(d / f"{i}.png")
+
+    common = [
+        "--tiny",
+        f"--instance_data_dir={d}",
+        "--instance_prompt=a photo of sks dog",
+        "--class_prompt=a photo of dog",
+        "--resolution=16",
+        "--train_batch_size=1",
+        "--gradient_accumulation_steps=2",
+        "--train_text_encoder",
+        "--num_negatives=2",
+        "--rank=2",
+        "--checkpointing_steps=2",
+        "--validation_steps=2",
+        "--num_validation_images=1",
+        "--is_object",
+        f"--output_dir={tmp_path / 'out'}",
+    ]
+    state = main(common + ["--max_train_steps=2"])
+    assert int(state.step) == 2
+    # joint LoRA export carries all three model prefixes
+    from safetensors import safe_open
+
+    with safe_open(
+        str(tmp_path / "out" / "lora-2" / "pytorch_lora_weights.safetensors"),
+        framework="numpy",
+    ) as f:
+        keys = list(f.keys())
+    assert any(k.startswith("unet.") for k in keys)
+    assert any(k.startswith("text_encoder.") for k in keys)
+    assert any(k.startswith("text_encoder_2.") for k in keys)
+    # validation suite: 25 prompt dirs x num_validation_images
+    gen = tmp_path / "out" / "gen_2"
+    subdirs = sorted(os.listdir(gen))
+    assert subdirs == [f"p_{i:03d}" for i in range(1, 26)]
+    assert sorted(os.listdir(gen / "p_001")) == ["img_01.png"]
+
+    # resume continues from step 2 (not from scratch)
+    state = main(
+        common + ["--max_train_steps=3", "--resume_from_checkpoint=latest",
+                  "--skip_validation"]
+    )
+    assert int(state.step) == 3
+
+
+def test_dreambooth_validation_prompts():
+    from pairwise_sample_optimization_tpu.train.db_validation import (
+        dreambooth_validation_prompts,
+    )
+
+    obj = dreambooth_validation_prompts("sks", "clock", True)
+    live = dreambooth_validation_prompts("sks", "dog", False)
+    assert len(obj) == len(live) == 25
+    assert obj[0] == "a sks clock in the jungle"
+    assert "a sks clock floating on top of water" in obj
+    assert "a sks dog wearing a santa hat" in live
+    assert obj[-1] == "a cube shaped sks clock"
