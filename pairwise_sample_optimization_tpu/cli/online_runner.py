@@ -299,6 +299,9 @@ def run_online_pso(config, sampler: str, num_epochs: Optional[int] = None):
             )
             if start == 0 and jax.process_index() == 0:
                 _save_images(images, step)
+                metrics_logger.log_images(
+                    "validation", images[:5], step, captions=chunk[:5]
+                )
             r_ids = jnp.asarray(tok_r(chunk))
             ps_scores.append(np.asarray(scorer.score(images, r_ids)))
             clip_scores.append(np.asarray(clip_scorer.score(images, r_ids)))

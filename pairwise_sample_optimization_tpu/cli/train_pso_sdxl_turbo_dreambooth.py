@@ -345,6 +345,7 @@ def main(argv=None):
             root_dir = run_dreambooth_validation(
                 val_generate, val_prompts, args.output_dir, step + 1,
                 num_images_per_prompt=args.num_validation_images, seed=args.seed,
+                metric_logger=mlog,
             )
             logger.info("validation images at %s", root_dir)
 

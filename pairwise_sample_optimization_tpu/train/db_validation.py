@@ -81,18 +81,22 @@ def run_dreambooth_validation(
     global_step: int,
     num_images_per_prompt: int = 4,
     seed: int = 0,
+    metric_logger=None,
 ) -> str:
     """Generate and save the validation grid; returns the save root.
 
     ``generate_fn(prompt, key, n) -> (n, H, W, 3) images in [-1, 1]``.
     Layout parity with reference ``:275-283``:
-    ``gen_<step>/p_001..p_025/img_01..img_04.png``.
+    ``gen_<step>/p_001..p_025/img_01..img_04.png``. ``metric_logger``
+    (a ``utils.MetricLogger``) additionally mirrors the grid to wandb
+    with the reference's ``p_xxx/img_xx: <prompt>`` captions (``:263-268``).
     """
     from PIL import Image
 
     root = os.path.join(output_dir, f"gen_{global_step}")
     os.makedirs(root, exist_ok=True)
     key = jax.random.key(seed)
+    all_imgs, captions = [], []
     for p_idx, prompt in enumerate(prompts, start=1):
         imgs = np.asarray(
             generate_fn(prompt, jax.random.fold_in(key, p_idx), num_images_per_prompt)
@@ -104,4 +108,10 @@ def run_dreambooth_validation(
             Image.fromarray(u8[s_idx]).save(
                 os.path.join(sub, f"img_{s_idx + 1:02d}.png")
             )
+            captions.append(f"p_{p_idx:03d}/img_{s_idx + 1:02d}: {prompt}")
+        all_imgs.append(imgs)
+    if metric_logger is not None:
+        metric_logger.log_images(
+            "validation", np.concatenate(all_imgs, 0), global_step, captions=captions
+        )
     return root

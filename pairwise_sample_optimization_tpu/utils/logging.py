@@ -67,6 +67,35 @@ class MetricLogger:
             self._wandb.log(clean, step=step)
         self.log.info("step %d: %s", step, {k: round(v, 5) if isinstance(v, float) else v for k, v in clean.items()})
 
+    def log_images(self, key: str, images, step: int, captions=None):
+        """Image-grid logging (reference wandb grids,
+        ``train_online_pso_sdxl_turbo.py:170-193``). ``images``: array-like
+        (N, H, W, 3) in [-1, 1]. No-op beyond a JSONL record when wandb is
+        off — PNG persistence is the callers' job (they already save)."""
+        import numpy as np
+
+        arr = np.asarray(images)
+        if self._jsonl:
+            self._jsonl.write(
+                json.dumps(
+                    {"step": step, "ts": time.time(), f"{key}/n_images": int(arr.shape[0])}
+                )
+                + "\n"
+            )
+            self._jsonl.flush()
+        if self._wandb is not None:
+            import wandb
+
+            u8 = ((arr.clip(-1.0, 1.0) + 1.0) * 127.5).astype("uint8")
+            imgs = [
+                wandb.Image(
+                    u8[i],
+                    caption=(captions[i] if captions and i < len(captions) else None),
+                )
+                for i in range(u8.shape[0])
+            ]
+            self._wandb.log({key: imgs}, step=step)
+
     def close(self):
         if self._jsonl:
             self._jsonl.close()

@@ -150,6 +150,49 @@ def main():
     state, ts, tu, m = one_epoch(state, jax.random.key(0))
     print(f"warm: sample {ts:.2f}s update {tu:.2f}s loss={m[0]['loss']:.4f}")
 
+    # roofline accounting: XLA's own FLOP count for each phase program
+    def flops_of(jitted, *args):
+        try:
+            ca = jitted.lower(*args).compile().cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0]
+            return float(ca.get("flops", 0.0))
+        except Exception as e:  # cost analysis unsupported on some backends
+            print("cost_analysis unavailable:", e)
+            return 0.0
+
+    variables = {"params": pipe.unet_variables["params"], "lora": state.lora}
+    f_sample = flops_of(
+        trainer._sample, variables, cond, rc, jax.random.key(0), aux_vars
+    ) * N_BATCHES
+    # one update program processes ga*T microbatches; reconstruct its args
+    per_update = TRAIN_BS * GA
+    n_updates = (SAMPLE_BS * N_BATCHES) // per_update
+    samples1, _ = trainer.sample_pairs(
+        variables, cond, rc, jax.random.key(0), aux_variables=aux_vars
+    )
+    reps = max(per_update // SAMPLE_BS, 1)
+    big = jax.tree.map(
+        lambda x: jnp.concatenate([x] * reps, 0)[:per_update], samples1
+    )
+    bigc = jax.tree.map(
+        lambda x: jnp.concatenate([x] * reps, 0)[:per_update], cond
+    )
+    sl = lambda t: jax.tree.map(
+        lambda x: x.reshape((GA, TRAIN_BS) + x.shape[1:]), t
+    )
+    f_update = flops_of(
+        trainer._update, state, pipe.unet_variables["params"],
+        sl(big), sl(bigc), jax.random.key(0),
+    ) * n_updates
+    peak = 197e12  # v5e bf16
+    if f_sample and f_update:
+        print(
+            f"flops: sample {f_sample/1e12:.2f} TF, update {f_update/1e12:.2f} TF; "
+            f"roofline floor at peak: sample {f_sample/peak:.2f}s "
+            f"update {f_update/peak:.2f}s"
+        )
+
     n = 3
     t_s, t_u = [], []
     for i in range(n):
