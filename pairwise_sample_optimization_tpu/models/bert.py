@@ -96,7 +96,7 @@ class _BertLayer(nn.Module):
             cfg.intermediate, dtype=cfg.dtype, param_dtype=cfg.param_dtype,
             name="intermediate",
         )(x)
-        h = nn.gelu(h)
+        h = nn.gelu(h, approximate=False)  # HF BERT "gelu" is exact erf
         h = nn.Dense(
             cfg.hidden, dtype=cfg.dtype, param_dtype=cfg.param_dtype, name="ffn_out"
         )(h)

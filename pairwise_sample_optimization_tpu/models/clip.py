@@ -109,7 +109,10 @@ def _act(name: str):
     if name == "quick_gelu":
         return lambda x: x * nn.sigmoid(1.702 * x)
     if name == "gelu":
-        return nn.gelu
+        # HF ACT2FN["gelu"] is the exact erf GELU; flax nn.gelu defaults
+        # to the tanh approximation — ViT-H towers (PickScore/CLIP/HPS
+        # backbones) use "gelu", so flavor matters for score parity
+        return lambda x: nn.gelu(x, approximate=False)
     raise ValueError(name)
 
 

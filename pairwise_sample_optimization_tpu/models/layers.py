@@ -63,7 +63,10 @@ class LoRADense(nn.Module):
             )
             y = y + bias.astype(self.dtype)
 
-        if self.lora_rank > 0:
+        # static zero scale (the unfused frozen-reference pass) skips the
+        # adapter entirely — no dead (x@A)@B work in the ref forward
+        static_zero = isinstance(lora_scale, (int, float)) and lora_scale == 0.0
+        if self.lora_rank > 0 and not (static_zero and not self.is_initializing()):
             r = self.lora_rank
             alpha = self.lora_alpha if self.lora_alpha is not None else r
             a_init = nn.initializers.normal(stddev=1.0 / r)
@@ -200,7 +203,9 @@ class GEGLUFeedForward(nn.Module):
             inner * 2, dtype=self.dtype, param_dtype=self.param_dtype, name="proj_in"
         )(x)
         hidden, gate = jnp.split(proj, 2, axis=-1)
-        x = hidden * nn.gelu(gate)
+        # diffusers GEGLU uses torch F.gelu — the exact erf form, not the
+        # tanh approximation flax defaults to (test_torch_parity_blocks)
+        x = hidden * nn.gelu(gate, approximate=False)
         return nn.Dense(
             self.dim, dtype=self.dtype, param_dtype=self.param_dtype, name="proj_out"
         )(x)
@@ -219,8 +224,10 @@ class BasicTransformerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, context, lora_scale=1.0):
+        # torch nn.LayerNorm eps (diffusers BasicTransformerBlock norm_eps)
+        # is 1e-5; flax defaults to 1e-6 (test_torch_parity_blocks)
         ln = lambda name: nn.LayerNorm(
-            dtype=self.dtype, param_dtype=self.param_dtype, name=name
+            epsilon=1e-5, dtype=self.dtype, param_dtype=self.param_dtype, name=name
         )
         attn = lambda name: Attention(
             heads=self.heads,
@@ -321,7 +328,14 @@ class ResnetBlock(nn.Module):
 
 
 class Downsample(nn.Module):
+    """Stride-2 3x3 conv. The UNet uses symmetric padding (diffusers
+    ``downsample_padding=1``); the VAE *encoder* builds its Downsample2D
+    with ``downsample_padding=0`` + an explicit F.pad(0,1,0,1) — i.e.
+    ASYMMETRIC bottom/right padding (test_torch_parity_blocks anchors
+    both against torch)."""
+
     channels: int
+    pad: tuple = ((1, 1), (1, 1))
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
 
@@ -331,7 +345,7 @@ class Downsample(nn.Module):
             self.channels,
             (3, 3),
             strides=(2, 2),
-            padding=((1, 1), (1, 1)),
+            padding=self.pad,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="conv",

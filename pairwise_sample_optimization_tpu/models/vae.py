@@ -85,7 +85,10 @@ class Encoder(nn.Module):
             for i in range(cfg.layers_per_block):
                 h = resnet(ch, f"down_{level}_resnet_{i}")(h)
             if level < n - 1:
-                h = Downsample(ch, dtype=dt, param_dtype=pdt, name=f"down_{level}_downsample")(h)
+                h = Downsample(
+                    ch, pad=((0, 1), (0, 1)), dtype=dt, param_dtype=pdt,
+                    name=f"down_{level}_downsample",
+                )(h)
         mid = cfg.block_out_channels[-1]
         h = resnet(mid, "mid_resnet_0")(h)
         h = VAEAttention(cfg.norm_groups, dt, pdt, name="mid_attn")(h)

@@ -58,7 +58,7 @@ class _ViTBlock(nn.Module):
         x = x + dense(cfg.width, "proj")(o)
         h = ln("norm2")(x)
         h = dense(cfg.width * cfg.mlp_ratio, "fc1")(h)
-        h = nn.gelu(h)
+        h = nn.gelu(h, approximate=False)  # BLIP/timm use exact-erf GELU
         return x + dense(cfg.width, "fc2")(h)
 
 
