@@ -38,6 +38,15 @@ def main():
     from pairwise_sample_optimization_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
+    # A/B debug knobs (default: package defaults)
+    if os.environ.get("PSO_SUBPIXEL"):
+        from pairwise_sample_optimization_tpu.ops.upsample import set_use_subpixel
+
+        set_use_subpixel(os.environ["PSO_SUBPIXEL"] == "1")
+    if os.environ.get("PSO_FUSED_GN"):
+        from pairwise_sample_optimization_tpu.ops.group_norm import set_use_pallas
+
+        set_use_pallas(os.environ["PSO_FUSED_GN"] == "1")
     from pairwise_sample_optimization_tpu.models.clip import (
         CLIPTextConfig,
         CLIPVisionConfig,

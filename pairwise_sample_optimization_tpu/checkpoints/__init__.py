@@ -13,6 +13,7 @@ from .convert import (
 from .lora_safetensors import (
     export_lora_safetensors,
     export_sdxl_lora_safetensors,
+    export_kohya_lora_safetensors,
     import_lora_safetensors,
 )
 from .clip_loader import load_hf_clip_dual
@@ -30,6 +31,7 @@ __all__ = [
     "load_torch_state_dict",
     "export_lora_safetensors",
     "export_sdxl_lora_safetensors",
+    "export_kohya_lora_safetensors",
     "import_lora_safetensors",
     "load_hf_clip_dual",
 ]

@@ -20,8 +20,18 @@ import numpy as np
 
 from .torch_names import clip_text_param_map, unet_param_map
 
-_PEFT_SUFFIX = {"a": "lora.down.weight", "b": "lora.up.weight"}
-_PEFT_ALT = {"a": "lora_A.weight", "b": "lora_B.weight"}  # raw peft layout
+_PEFT_SUFFIX = {
+    "a": "lora.down.weight",
+    "b": "lora.up.weight",
+    # DoRA per-column magnitude (peft lora_magnitude_vector); 1-D so the
+    # export transpose is a no-op
+    "magnitude": "lora_magnitude_vector",
+}
+_PEFT_ALT = {  # raw peft layout
+    "a": "lora_A.weight",
+    "b": "lora_B.weight",
+    "magnitude": "lora_magnitude_vector.weight",
+}
 
 
 def _site_key(path: Tuple[str, ...], n_levels: int, site_map=None) -> str:
@@ -88,6 +98,52 @@ def export_sdxl_lora_safetensors(
                     lora_trees[name], None, n_levels, prefix, site_map
                 )
             )
+    if path is not None:
+        from safetensors.numpy import save_file
+
+        save_file(out, path)
+    return out
+
+
+def export_kohya_lora_safetensors(
+    lora_trees: Dict[str, object], path: str | None = None, n_levels: int = 3
+) -> Dict[str, np.ndarray]:
+    """Joint LoRA trees -> kohya-ss layout (``--output_kohya_format``,
+    reference ``train_pso_sdxl_turbo_dreambooth.py:735,2060-2075``):
+    ``lora_unet_<module with _>_<site>.lora_down.weight`` / ``.lora_up.weight``
+    / ``.alpha`` (alpha == rank, the reference's peft convention), with
+    ``lora_te1_``/``lora_te2_`` prefixes for the text encoders and
+    ``.dora_scale`` for DoRA magnitudes."""
+    diff = export_sdxl_lora_safetensors(lora_trees, None, n_levels)
+    prefix_map = {
+        "unet.": "lora_unet_",
+        "text_encoder.": "lora_te1_",
+        "text_encoder_2.": "lora_te2_",
+    }
+    out: Dict[str, np.ndarray] = {}
+    for k, v in diff.items():
+        for dpfx, kpfx in prefix_map.items():
+            if k.startswith(dpfx):
+                rest = k[len(dpfx):]
+                break
+        else:
+            raise KeyError(k)
+        for dsuf, ksuf in (
+            (".lora.down.weight", ".lora_down.weight"),
+            (".lora.up.weight", ".lora_up.weight"),
+            (".lora_magnitude_vector", ".dora_scale"),
+        ):
+            if rest.endswith(dsuf):
+                site = rest[: -len(dsuf)]
+                key = kpfx + site.replace(".", "_") + ksuf
+                out[key] = v
+                if ksuf == ".lora_down.weight":
+                    out[kpfx + site.replace(".", "_") + ".alpha"] = np.asarray(
+                        float(v.shape[0]), np.float32
+                    )
+                break
+        else:
+            raise KeyError(k)
     if path is not None:
         from safetensors.numpy import save_file
 

@@ -69,17 +69,62 @@ def parse_args(argv=None):
     p.add_argument("--output_dir", default="dreambooth-pso-output")
     p.add_argument("--resolution", type=int, default=512)
     p.add_argument("--repeats", type=int, default=1)
+    p.add_argument("--center_crop", action="store_true",
+                   help="center crop instead of the reference's default "
+                        "random crop (ref :479-489)")
+    p.add_argument("--random_flip", action="store_true")
     # train
     p.add_argument("--train_batch_size", type=int, default=1)
     p.add_argument("--gradient_accumulation_steps", type=int, default=4)
     p.add_argument("--learning_rate", type=float, default=2e-4)
+    p.add_argument("--scale_lr", action="store_true",
+                   help="scale lr by ga * batch_size * n_processes (ref :833-836)")
     p.add_argument("--text_encoder_lr", type=float, default=5e-6)
     p.add_argument("--train_text_encoder", action="store_true")
-    p.add_argument("--adam_weight_decay", type=float, default=1e-4)
     p.add_argument("--max_grad_norm", type=float, default=1.0)
-    p.add_argument("--max_train_steps", type=int, default=1600)
+    p.add_argument("--max_train_steps", type=int, default=None,
+                   help="default: num_train_epochs * steps per epoch")
+    p.add_argument("--num_train_epochs", type=int, default=1)
     p.add_argument("--rank", type=int, default=16, help="LoRA rank")
+    p.add_argument("--use_dora", action="store_true",
+                   help="weight-decomposed LoRA (ref --use_dora :741, peft DoRA)")
+    p.add_argument("--gradient_checkpointing", action="store_true",
+                   help="rematerialize UNet blocks in backward (ref :1201)")
     p.add_argument("--seed", type=int, default=0)
+    # optimizer (reference :620-668,1479-1565)
+    p.add_argument("--optimizer", default="AdamW",
+                   help='"AdamW" or "prodigy" (case-insensitive)')
+    p.add_argument("--use_8bit_adam", action="store_true",
+                   help="block-quantized int8-moment AdamW (bnb AdamW8bit parity)")
+    p.add_argument("--adam_beta1", type=float, default=0.9)
+    p.add_argument("--adam_beta2", type=float, default=0.999)
+    p.add_argument("--adam_epsilon", type=float, default=1e-8)
+    p.add_argument("--adam_weight_decay", type=float, default=1e-4)
+    p.add_argument("--adam_weight_decay_text_encoder", type=float, default=1e-3)
+    p.add_argument("--prodigy_beta3", type=float, default=None,
+                   help="default sqrt(beta2)")
+    p.add_argument("--prodigy_decouple", type=lambda s: s.lower() != "false",
+                   default=True)
+    p.add_argument("--prodigy_use_bias_correction",
+                   type=lambda s: s.lower() != "false", default=True)
+    p.add_argument("--prodigy_safeguard_warmup",
+                   type=lambda s: s.lower() != "false", default=True)
+    # lr schedule (reference get_scheduler :1614-1622)
+    p.add_argument("--lr_scheduler", default="constant",
+                   choices=["constant", "constant_with_warmup", "linear",
+                            "cosine", "cosine_with_restarts", "polynomial"])
+    p.add_argument("--lr_warmup_steps", type=int, default=500)
+    p.add_argument("--lr_num_cycles", type=int, default=1)
+    p.add_argument("--lr_power", type=float, default=1.0)
+    # prior preservation (reference :463-478,1155-1199)
+    p.add_argument("--with_prior_preservation", action="store_true",
+                   help="use class images from --class_data_dir as the loser "
+                        "pool (pregenerated there if fewer than "
+                        "--num_class_images exist)")
+    p.add_argument("--class_data_dir", default="")
+    p.add_argument("--num_class_images", type=int, default=100)
+    p.add_argument("--sample_batch_size", type=int, default=4,
+                   help="batch size for class-image pregeneration")
     p.add_argument("--resume_from_checkpoint", default="",
                    help="checkpoint dir, or 'latest' to scan output_dir")
     # scheduler space (reference auto-detect :1229-1240 + --do_edm_style_training)
@@ -101,6 +146,8 @@ def parse_args(argv=None):
     p.add_argument("--distill_train_timesteps", type=int, default=4)
     # validation (reference log_validation :157-293)
     p.add_argument("--checkpointing_steps", type=int, default=500)
+    p.add_argument("--checkpoints_total_limit", type=int, default=None,
+                   help="keep only the newest N checkpoints (ref :540-545)")
     p.add_argument("--validation_steps", type=int, default=500)
     p.add_argument("--num_validation_images", type=int, default=4)
     p.add_argument("--unique_token", default="sks")
@@ -110,25 +157,107 @@ def parse_args(argv=None):
                    help="object prompt list (vs live-subject outfits list)")
     p.add_argument("--skip_validation", action="store_true")
     p.add_argument("--use_wandb", action="store_true")
+    p.add_argument("--output_kohya_format", action="store_true",
+                   help="also export kohya-ss-layout LoRA safetensors "
+                        "(ref --output_kohya_format :735)")
     p.add_argument("--tiny", action="store_true", help="toy models (smoke/CI)")
+    # ---- reference-inert parity knobs (accepted for drop-in script
+    # compatibility; each is a no-op in the reference's own PSO loss path) --
+    p.add_argument("--snr_gamma", type=float, default=None,
+                   help="PARITY-INERT: the reference only guards EDM+snr "
+                        "(:1097); the PSO loss never applies SNR weighting")
+    p.add_argument("--gamma_pso", type=float, default=1.0,
+                   help="PARITY-INERT: parsed but unused by the reference "
+                        "(:764-772)")
+    p.add_argument("--neg_generate_freq", type=int, default=800,
+                   help="PARITY-INERT: reference hardcodes negative "
+                        "regeneration to step 0 (:1702-1703)")
     return p.parse_args(argv)
 
 
-def _make_optimizer(args):
-    """AdamW + global-norm clip; separate TE learning rate when the text
-    encoders train (reference params_to_optimize, ``:1458-1474``).
+def _make_optimizer(args, total_steps: int):
+    """Optimizer + lr schedule + global-norm clip, matching the reference's
+    factory (``:1479-1565``): AdamW (optionally 8-bit) or Prodigy, separate
+    TE lr/weight-decay groups (``params_to_optimize`` ``:1458-1476``),
+    diffusers-style lr scheduler (``get_scheduler`` ``:1614-1622``).
     The clip is GLOBAL over the joint tree (ref ``:1953-1958``)."""
-    kw = dict(b1=0.9, b2=0.999, eps=1e-8, weight_decay=args.adam_weight_decay)
-    if args.train_text_encoder and args.text_encoder_lr != args.learning_rate:
-        inner = optax.multi_transform(
-            {
-                "unet": optax.adamw(args.learning_rate, **kw),
-                "te": optax.adamw(args.text_encoder_lr, **kw),
-            },
-            param_labels={"unet": "unet", "te1": "te", "te2": "te"},
+    from ..train import make_lr_schedule
+
+    lr = args.learning_rate
+    te_lr = args.text_encoder_lr
+    if args.scale_lr:
+        scale = args.gradient_accumulation_steps * args.train_batch_size * max(
+            jax.process_count(), 1
         )
+        lr, te_lr = lr * scale, te_lr * scale
+
+    opt = args.optimizer.lower()
+    if opt not in ("adamw", "prodigy"):
+        raise ValueError(
+            f"Unsupported optimizer {args.optimizer!r}: choose AdamW or prodigy"
+        )
+
+    sched = lambda base: make_lr_schedule(
+        args.lr_scheduler, base, args.lr_warmup_steps, total_steps,
+        num_cycles=args.lr_num_cycles, power=args.lr_power,
+    )
+
+    if opt == "prodigy":
+        from ..train.prodigy import prodigy
+
+        if lr <= 0.1:
+            logger.warning(
+                "prodigy usually wants --learning_rate around 1.0 (got %g)", lr
+            )
+        if args.train_text_encoder and te_lr != lr:
+            # reference overrides the TE lr to the main lr for prodigy
+            # (it cannot mix per-group lrs with a shared d estimate)
+            logger.warning(
+                "prodigy: overriding --text_encoder_lr to --learning_rate"
+            )
+        inner = prodigy(
+            learning_rate=lr,
+            beta1=args.adam_beta1,
+            beta2=args.adam_beta2,
+            beta3=args.prodigy_beta3,
+            eps=args.adam_epsilon,
+            weight_decay=args.adam_weight_decay,
+            decouple=args.prodigy_decouple,
+            use_bias_correction=args.prodigy_use_bias_correction,
+            safeguard_warmup=args.prodigy_safeguard_warmup,
+        )
+        # diffusers runs its lr scheduler on top of prodigy's lr=1-style
+        # multiplier; reproduce as a multiplicative factor on the update
+        if args.lr_scheduler != "constant":
+            s = sched(lr)
+            inner = optax.chain(
+                inner, optax.scale_by_schedule(lambda k: s(k) / lr)
+            )
     else:
-        inner = optax.adamw(args.learning_rate, **kw)
+        def adamw(base_lr, wd):
+            kw = dict(
+                b1=args.adam_beta1, b2=args.adam_beta2,
+                eps=args.adam_epsilon, weight_decay=wd,
+            )
+            if args.use_8bit_adam:
+                from ..train.quantized_adam import adam8bit
+
+                return adam8bit(sched(base_lr), **kw)
+            return optax.adamw(sched(base_lr), **kw)
+
+        if args.train_text_encoder and (
+            te_lr != lr
+            or args.adam_weight_decay_text_encoder != args.adam_weight_decay
+        ):
+            inner = optax.multi_transform(
+                {
+                    "unet": adamw(lr, args.adam_weight_decay),
+                    "te": adamw(te_lr, args.adam_weight_decay_text_encoder),
+                },
+                param_labels={"unet": "unet", "te1": "te", "te2": "te"},
+            )
+        else:
+            inner = adamw(lr, args.adam_weight_decay)
     return optax.chain(optax.clip_by_global_norm(args.max_grad_norm), inner)
 
 
@@ -141,6 +270,7 @@ def main(argv=None):
     te_lora_rank = args.rank if args.train_text_encoder else 0
 
     # ---- pipeline ----
+    remat = "full" if args.gradient_checkpointing else False
     if args.pretrained_model_dir:
         pipe = SDXLPipeline.from_torch_dir(
             args.pretrained_model_dir,
@@ -148,12 +278,15 @@ def main(argv=None):
             resolution=args.resolution,
             bpe_path=args.bpe_path,
             te_lora_rank=te_lora_rank,
+            use_dora=args.use_dora,
+            remat=remat,
         )
     else:
         logger.warning("no --pretrained_model_dir: random weights (smoke mode)")
         pipe = SDXLPipeline.random(
             lora_rank=args.rank, resolution=args.resolution,
             bpe_path=args.bpe_path, tiny=args.tiny, te_lora_rank=te_lora_rank,
+            use_dora=args.use_dora, remat=remat,
         )
 
     if args.bpe_path and os.path.exists(args.bpe_path):
@@ -172,10 +305,17 @@ def main(argv=None):
 
     # ---- data: instance images -> VAE moments (precomputed once) ----
     dataset = DreamBoothDataset(
-        args.instance_data_dir, args.instance_prompt, args.resolution, args.repeats
+        args.instance_data_dir, args.instance_prompt, args.resolution,
+        args.repeats, center_crop=args.center_crop,
+        random_flip=args.random_flip, seed=args.seed,
     )
     inst_px = jnp.asarray(np.stack(dataset.pixel_values))
     inst_mean, inst_logvar = encode_image(inst_px)
+
+    # ---- total steps (reference epochs->steps math :1638-1650) ----
+    per_step = args.train_batch_size * args.gradient_accumulation_steps
+    steps_per_epoch = max(1, -(-dataset.num_source // per_step))
+    total_steps = args.max_train_steps or args.num_train_epochs * steps_per_epoch
 
     # ---- negatives: self-generated for the class prompt at step 0 ----
     class_prompt = args.class_prompt or args.instance_prompt
@@ -183,13 +323,51 @@ def main(argv=None):
         jnp.asarray(tok1([class_prompt])), jnp.asarray(tok2([class_prompt]))
     )
     gen = jax.jit(lambda cond, key: pipe.generate(cond, key, num_steps=4))
-    negs = []
-    for i in range(args.num_negatives):
-        img = gen(neg_cond, jax.random.fold_in(jax.random.key(args.seed + 1), i))
-        negs.append(np.asarray(img)[0])
-        if (i + 1) % 5 == 0:
-            logger.info("generated %d/%d negatives", i + 1, args.num_negatives)
-    neg_px = jnp.asarray(np.stack(negs))
+
+    def generate_images(n, key0, note):
+        out = []
+        for i in range(n):
+            img = gen(neg_cond, jax.random.fold_in(key0, i))
+            out.append(np.asarray(img)[0])
+            if (i + 1) % 5 == 0:
+                logger.info("generated %d/%d %s", i + 1, n, note)
+        return out
+
+    if args.with_prior_preservation and args.class_data_dir:
+        # loser pool = class images on disk, pregenerated up to
+        # --num_class_images (reference :1155-1199); batched generation
+        # honors --sample_batch_size via sequential singles on TPU
+        os.makedirs(args.class_data_dir, exist_ok=True)
+        existing = sorted(
+            f for f in os.listdir(args.class_data_dir)
+            if f.lower().endswith((".png", ".jpg", ".jpeg", ".webp"))
+        )
+        missing = args.num_class_images - len(existing)
+        if missing > 0:
+            from PIL import Image
+
+            logger.info("pregenerating %d class images", missing)
+            imgs = generate_images(
+                missing, jax.random.key(args.seed + 2), "class images"
+            )
+            for j, im in enumerate(imgs):
+                arr = np.clip((im + 1.0) * 127.5, 0, 255).astype(np.uint8)
+                Image.fromarray(arr).save(
+                    os.path.join(
+                        args.class_data_dir, f"class-{len(existing) + j:05d}.png"
+                    )
+                )
+        class_ds = DreamBoothDataset(
+            args.class_data_dir, class_prompt, args.resolution
+        )
+        neg_px = jnp.asarray(np.stack(class_ds.pixel_values))
+        num_neg_pool = len(class_ds)
+    else:
+        negs = generate_images(
+            args.num_negatives, jax.random.key(args.seed + 1), "negatives"
+        )
+        neg_px = jnp.asarray(np.stack(negs))
+        num_neg_pool = args.num_negatives
     neg_mean, neg_logvar = encode_image(neg_px)
 
     # ---- prompt encoding for the trainer ----
@@ -222,8 +400,11 @@ def main(argv=None):
         descending_table=not args.direct_timestep_indexing,
         grad_accum=args.gradient_accumulation_steps,
         train_text_encoder=args.train_text_encoder,
+        # DoRA cannot ride the per-sample-scale fusion: run the frozen
+        # reference as a separate static-scale-0 forward
+        fuse_ref_pass=not args.use_dora,
     )
-    tx = _make_optimizer(args)
+    tx = _make_optimizer(args, total_steps)
     trainer = DreamBoothPSOTrainer(
         cfg, pipe.unet_apply, tx,
         encode_prompt=encode_with_te_lora if args.train_text_encoder else None,
@@ -303,13 +484,24 @@ def main(argv=None):
         export_sdxl_lora_safetensors(
             trees, os.path.join(lora_dir, "pytorch_lora_weights.safetensors")
         )
+        if args.output_kohya_format:
+            from ..checkpoints import export_kohya_lora_safetensors
+
+            export_kohya_lora_safetensors(
+                trees,
+                os.path.join(lora_dir, "pytorch_lora_weights_kohya.safetensors"),
+            )
+        if args.checkpoints_total_limit:
+            from ..checkpoints.orbax_io import prune_checkpoints
+
+            prune_checkpoints(args.output_dir, int(args.checkpoints_total_limit))
         logger.info("saved %s", path)
 
     mlog = MetricLogger(args.output_dir, "dreambooth_pso", use_wandb=args.use_wandb)
     rng = np.random.default_rng(args.seed + start_step)
     root = jax.random.key(args.seed)
 
-    for step in range(start_step, args.max_train_steps):
+    for step in range(start_step, total_steps):
         k = jax.random.fold_in(root, step)
         ki, kn, ku = jax.random.split(k, 3)
         n_draw = ga * b
@@ -317,7 +509,7 @@ def main(argv=None):
             rng.choice(len(dataset), n_draw, replace=len(dataset) < n_draw)
         )
         neg_idx = jnp.asarray(
-            rng.choice(args.num_negatives, n_draw, replace=args.num_negatives < n_draw)
+            rng.choice(num_neg_pool, n_draw, replace=num_neg_pool < n_draw)
         )
         batch = {
             "instance_latents": microbatched(
@@ -339,7 +531,7 @@ def main(argv=None):
 
         if (step + 1) % 10 == 0 or step == 0:
             mlog.log_metrics({k2: float(v) for k2, v in aux.items()}, step + 1)
-        if (step + 1) % args.checkpointing_steps == 0 or step + 1 == args.max_train_steps:
+        if (step + 1) % args.checkpointing_steps == 0 or step + 1 == total_steps:
             save_all(step + 1)
         if not args.skip_validation and (step + 1) % args.validation_steps == 0:
             root_dir = run_dreambooth_validation(

@@ -87,9 +87,11 @@ def get_config():
     train.optimizer_state_dtype = ""  # "" (fp32) | "bfloat16"
     # block-quantized int8-moment AdamW (bitsandbytes AdamW8bit parity)
     train.use_8bit_adam = False
-    # fuse policy+reference passes into one 4x-batch apply (fastest);
-    # False halves backward activation memory (1024^2 on 16GB chips)
-    train.fuse_ref_pass = True
+    # fuse policy+reference passes into one 4x-batch apply. Measured on
+    # v5e @512^2 (BENCHMARKS.md): UNFUSED wins — the fused pass drags the
+    # grad-free reference half through backward+remat (update 8.2s vs
+    # 5.3s, full loop 1.49 -> 2.05 pairs/s) — so False is the default.
+    train.fuse_ref_pass = False
 
     # ---- kernels ----
     config.kernels = kernels = ml_collections.ConfigDict()

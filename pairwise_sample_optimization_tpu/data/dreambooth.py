@@ -28,11 +28,13 @@ def _load_image(path: str) -> np.ndarray:
     return np.asarray(img)
 
 
-def _resize_center_crop(
-    arr: np.ndarray, size: int
+def _resize_crop(
+    arr: np.ndarray, size: int, rng: "np.random.Generator | None" = None
 ) -> Tuple[np.ndarray, Tuple[int, int], Tuple[int, int]]:
     """-> (HxWx3 uint8, original_size, crop_top_left); PIL bicubic resize of
-    the short side then center crop (transforms parity)."""
+    the short side then crop (transforms parity). ``rng=None`` = center
+    crop (reference ``--center_crop``); an rng = torchvision RandomCrop
+    (the reference's default)."""
     from PIL import Image
 
     h0, w0 = arr.shape[:2]
@@ -40,10 +42,18 @@ def _resize_center_crop(
     scale = size / min(h0, w0)
     nh, nw = round(h0 * scale), round(w0 * scale)
     img = img.resize((nw, nh), Image.BICUBIC)
-    top = (nh - size) // 2
-    left = (nw - size) // 2
+    if rng is None:
+        top = (nh - size) // 2
+        left = (nw - size) // 2
+    else:
+        top = int(rng.integers(0, nh - size + 1))
+        left = int(rng.integers(0, nw - size + 1))
     img = img.crop((left, top, left + size, top + size))
     return np.asarray(img), (h0, w0), (top, left)
+
+
+def _resize_center_crop(arr, size):
+    return _resize_crop(arr, size, None)
 
 
 def to_model_range(uint8_images: np.ndarray) -> np.ndarray:
@@ -58,7 +68,17 @@ class DreamBoothDataset:
         instance_prompt: str,
         resolution: int = 512,
         repeats: int = 1,
+        center_crop: bool = True,
+        random_flip: bool = False,
+        aug_pool: int = 8,
+        seed: int = 0,
     ):
+        """``center_crop=False`` emulates the reference's torchvision
+        RandomCrop default and ``random_flip`` its RandomHorizontalFlip —
+        as a PRECOMPUTED pool of ``aug_pool`` random-crop (x flip)
+        variants per source image, so VAE moments are still encoded once
+        and training steps stay host-transform-free (TPU-first design;
+        ref transforms at ``train_pso_sdxl_turbo_dreambooth.py:966-975``)."""
         paths = sorted(
             os.path.join(instance_data_dir, f)
             for f in os.listdir(instance_data_dir)
@@ -68,14 +88,28 @@ class DreamBoothDataset:
             raise FileNotFoundError(f"no images in {instance_data_dir}")
         self.instance_prompt = instance_prompt
         self.resolution = resolution
+        # logical dataset size for epoch math (augmentation variants are
+        # views of the same source image, reference __len__ semantics)
+        self.num_source = len(paths) * repeats
         self.pixel_values: List[np.ndarray] = []
         self.original_sizes: List[Tuple[int, int]] = []
         self.crop_top_lefts: List[Tuple[int, int]] = []
+        rng = np.random.default_rng(seed)
         for p in paths * repeats:
-            arr, orig, crop = _resize_center_crop(_load_image(p), resolution)
-            self.pixel_values.append(to_model_range(arr))
-            self.original_sizes.append(orig)
-            self.crop_top_lefts.append(crop)
+            src = _load_image(p)
+            variants = (
+                [_resize_crop(src, resolution, None)]
+                if center_crop
+                else [_resize_crop(src, resolution, rng) for _ in range(aug_pool)]
+            )
+            for arr, orig, crop in variants:
+                views = [arr]
+                if random_flip:
+                    views.append(arr[:, ::-1])
+                for v in views:
+                    self.pixel_values.append(to_model_range(np.ascontiguousarray(v)))
+                    self.original_sizes.append(orig)
+                    self.crop_top_lefts.append(crop)
 
     def __len__(self):
         return len(self.pixel_values)

@@ -41,6 +41,7 @@ class CLIPTextConfig:
     # LoRA on the attention q/k/v/out projections (the DreamBooth
     # --train_text_encoder option, reference ``:1206-1339``)
     lora_rank: int = 0
+    lora_use_dora: bool = False  # peft use_dora (ref ``:1333``)
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.float32
 
@@ -123,6 +124,7 @@ class CLIPEncoderLayer(nn.Module):
     dtype: jnp.dtype
     param_dtype: jnp.dtype
     lora_rank: int = 0
+    use_dora: bool = False
     norm_eps: float = 1e-5
 
     @nn.compact
@@ -136,6 +138,7 @@ class CLIPEncoderLayer(nn.Module):
             self.width,
             use_bias=True,
             lora_rank=self.lora_rank,
+            use_dora=self.use_dora,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name=name,
@@ -190,7 +193,8 @@ class CLIPTextTower(nn.Module):
         for i in range(cfg.layers):
             x = CLIPEncoderLayer(
                 cfg.width, cfg.heads, cfg.act, cfg.dtype, cfg.param_dtype,
-                lora_rank=cfg.lora_rank, norm_eps=cfg.norm_eps, name=f"layer_{i}",
+                lora_rank=cfg.lora_rank, use_dora=cfg.lora_use_dora,
+                norm_eps=cfg.norm_eps, name=f"layer_{i}",
             )(x, causal=True, lora_scale=lora_scale)
             hiddens.append(x)
 

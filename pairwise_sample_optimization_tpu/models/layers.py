@@ -40,6 +40,12 @@ class LoRADense(nn.Module):
     use_bias: bool = True
     lora_rank: int = 0
     lora_alpha: Optional[int] = None  # defaults to rank (ref: alpha == rank)
+    # DoRA (weight-decomposed LoRA, peft ``use_dora`` — reference
+    # ``train_pso_sdxl_turbo_dreambooth.py:741-746,1321``): a trainable
+    # per-output-column magnitude over the unit-normalized merged weight,
+    # y = (m / ||W + s*AB||_col) * (xW + s*xAB) + b, norm detached (peft
+    # semantics). Requires a scalar lora_scale.
+    use_dora: bool = False
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
     # LoRA master params stay fp32 even when frozen weights are stored
@@ -82,6 +88,32 @@ class LoRADense(nn.Module):
             scaling = alpha / r
             delta = (x @ a.astype(self.dtype)) @ b.astype(self.dtype)
             scale = jnp.asarray(lora_scale, self.dtype)
+            if self.use_dora:
+                if scale.ndim >= 1:
+                    raise ValueError(
+                        "use_dora needs a scalar lora_scale (magnitude "
+                        "normalization is a weight-space op; the per-sample "
+                        "fused policy+ref trick cannot express it)"
+                    )
+                magnitude = self.variable(
+                    "lora", "magnitude",
+                    lambda: jnp.linalg.norm(
+                        kernel.astype(jnp.float32), axis=0
+                    ).astype(self.lora_param_dtype),
+                ).value
+                s32 = (scale * scaling).astype(jnp.float32)
+                merged = kernel.astype(jnp.float32) + s32 * (
+                    a.astype(jnp.float32) @ b.astype(jnp.float32)
+                )
+                col_norm = jax.lax.stop_gradient(
+                    jnp.maximum(jnp.linalg.norm(merged, axis=0), 1e-9)
+                )
+                # y currently = xW (+ bias); magnitude scales xW' only
+                base = y - bias.astype(y.dtype) if self.use_bias else y
+                out = (base + delta * (scale * scaling)) * (
+                    magnitude.astype(jnp.float32) / col_norm
+                ).astype(self.dtype)
+                return out + bias.astype(out.dtype) if self.use_bias else out
             if scale.ndim >= 1:
                 # per-sample scale vector (B,) -> broadcast over seq/feature
                 scale = scale.reshape(scale.shape + (1,) * (delta.ndim - scale.ndim))
@@ -150,6 +182,7 @@ class Attention(nn.Module):
     head_dim: int
     out_features: Optional[int] = None
     lora_rank: int = 0
+    use_dora: bool = False
     impl: Optional[str] = None  # None = global dispatch default
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
@@ -163,6 +196,7 @@ class Attention(nn.Module):
             inner,
             use_bias=use_bias,
             lora_rank=self.lora_rank,
+            use_dora=self.use_dora,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name=name,
@@ -182,6 +216,7 @@ class Attention(nn.Module):
             out_features,
             use_bias=True,
             lora_rank=self.lora_rank,
+            use_dora=self.use_dora,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="to_out",
@@ -218,6 +253,7 @@ class BasicTransformerBlock(nn.Module):
     heads: int
     head_dim: int
     lora_rank: int = 0
+    use_dora: bool = False
     attention_impl: Optional[str] = None
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
@@ -233,6 +269,7 @@ class BasicTransformerBlock(nn.Module):
             heads=self.heads,
             head_dim=self.head_dim,
             lora_rank=self.lora_rank,
+            use_dora=self.use_dora,
             impl=self.attention_impl,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
@@ -256,6 +293,7 @@ class SpatialTransformer(nn.Module):
     heads: int
     head_dim: int
     lora_rank: int = 0
+    use_dora: bool = False
     groups: int = 32
     attention_impl: Optional[str] = None
     dtype: Dtype = jnp.bfloat16
@@ -274,6 +312,7 @@ class SpatialTransformer(nn.Module):
                 heads=self.heads,
                 head_dim=self.head_dim,
                 lora_rank=self.lora_rank,
+                use_dora=self.use_dora,
                 attention_impl=self.attention_impl,
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,

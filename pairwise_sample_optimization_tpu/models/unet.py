@@ -61,6 +61,9 @@ class UNetConfig:
     num_time_ids: int = 6
     norm_groups: int = 32
     lora_rank: int = 0
+    # weight-decomposed LoRA on the adapted projections (peft use_dora,
+    # reference ``train_pso_sdxl_turbo_dreambooth.py:741,1321``)
+    lora_use_dora: bool = False
     # attention implementation for THIS model's transformer blocks;
     # None = global dispatch default. The UNet's shapes (seq 256-4096,
     # d64) favor the Pallas kernel fwd+bwd; VAE/CLIP stay on XLA.
@@ -181,6 +184,7 @@ class SDXLUNet(nn.Module):
                 heads=heads,
                 head_dim=head_dim,
                 lora_rank=cfg.lora_rank,
+                use_dora=cfg.lora_use_dora,
                 groups=cfg.norm_groups,
                 attention_impl=cfg.attention_impl,
                 dtype=dt,

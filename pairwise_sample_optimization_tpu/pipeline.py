@@ -93,6 +93,7 @@ class SDXLPipeline:
         remat: bool | str = False,
         unet_attention_impl: str | None = None,
         te_lora_rank: int = 0,
+        use_dora: bool = False,
     ) -> "SDXLPipeline":
         """``fast_init=True`` fills params with zeros from eval_shape instead
         of compiling the (huge) random-init program — seconds instead of
@@ -141,6 +142,10 @@ class SDXLPipeline:
             # TE LoRA training (ref --train_text_encoder, dreambooth :1330-1339)
             t1cfg = dataclasses.replace(t1cfg, lora_rank=te_lora_rank)
             t2cfg = dataclasses.replace(t2cfg, lora_rank=te_lora_rank)
+        if use_dora:  # peft use_dora (ref dreambooth :741,1321,1333)
+            ucfg = dataclasses.replace(ucfg, lora_use_dora=True)
+            t1cfg = dataclasses.replace(t1cfg, lora_use_dora=True)
+            t2cfg = dataclasses.replace(t2cfg, lora_use_dora=True)
 
         latent_hw = resolution // 8
         unet = SDXLUNet(ucfg)
@@ -194,6 +199,7 @@ class SDXLPipeline:
         param_dtype=None,
         remat: bool = False,
         te_lora_rank: int = 0,
+        use_dora: bool = False,
     ) -> "SDXLPipeline":
         """Port a local diffusers checkpoint directory (unet/, vae/,
         text_encoder/, text_encoder_2/ with .safetensors or .bin files)."""
@@ -207,6 +213,7 @@ class SDXLPipeline:
             param_dtype=param_dtype,
             remat=remat,
             te_lora_rank=te_lora_rank,
+            use_dora=use_dora,
         )
         n_unet_levels = len(pipe.unet_config.block_out_channels)
         n_vae_levels = len(pipe.vae.config.block_out_channels)

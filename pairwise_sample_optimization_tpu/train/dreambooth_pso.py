@@ -80,6 +80,11 @@ class DreamBoothPSOConfig:
     grad_accum: int = 1
     train_text_encoder: bool = False
     snr_clip: float = 1e8  # guard for sigma^-2 weighting
+    # fuse the frozen-reference pass of the "pso" loss into one 4b apply
+    # with per-sample lora scales [1,1,0,0]. Must be False with DoRA
+    # adapters (magnitude normalization is weight-space — a per-sample
+    # scale vector cannot express the reference half).
+    fuse_ref_pass: bool = True
 
 
 def make_sigma_table(cfg: NoiseScheduleConfig = NoiseScheduleConfig()) -> jnp.ndarray:
@@ -232,19 +237,28 @@ class DreamBoothPSOTrainer:
             return self._weighted_mse(post(pred, noisy), target, wgt)
 
         if cfg.loss_type == "pso":
-            # fused policy+reference apply: (4b,) with scales [1,1,0,0]
-            cat = lambda x: jnp.concatenate([x, x], 0)
-            cond4 = jax.tree.map(
-                lambda x: jnp.tile(x, (2,) + (1,) * (x.ndim - 1)), cond2
-            )
-            scale4 = jnp.concatenate(
-                [jnp.ones((2 * b,), jnp.float32), jnp.zeros((2 * b,), jnp.float32)]
-            )
-            per4 = apply_and_mse(
-                cat(latents2), cat(noise2), jnp.tile(t2, 2), cond4, scale4
-            )
-            per_pol, per_ref = jnp.split(per4, 2)
-            per_ref = jax.lax.stop_gradient(per_ref)
+            if cfg.fuse_ref_pass:
+                # fused policy+reference apply: (4b,) with scales [1,1,0,0]
+                cat = lambda x: jnp.concatenate([x, x], 0)
+                cond4 = jax.tree.map(
+                    lambda x: jnp.tile(x, (2,) + (1,) * (x.ndim - 1)), cond2
+                )
+                scale4 = jnp.concatenate(
+                    [jnp.ones((2 * b,), jnp.float32), jnp.zeros((2 * b,), jnp.float32)]
+                )
+                per4 = apply_and_mse(
+                    cat(latents2), cat(noise2), jnp.tile(t2, 2), cond4, scale4
+                )
+                per_pol, per_ref = jnp.split(per4, 2)
+                per_ref = jax.lax.stop_gradient(per_ref)
+            else:
+                # unfused: separate grad-free reference forward with a
+                # STATIC zero scale (adapters statically skipped — the
+                # DoRA-compatible form of disable_adapters)
+                per_pol = apply_and_mse(latents2, noise2, t2, cond2, 1.0)
+                per_ref = jax.lax.stop_gradient(
+                    apply_and_mse(latents2, noise2, t2, cond2, 0.0)
+                )
             mw, ml = jnp.split(per_pol, 2)
             rw, rl = jnp.split(per_ref, 2)
         else:

@@ -55,9 +55,11 @@ class OnlinePSOConfig:
     shared_noise: bool = True  # dmd-only quirk flag
     num_train_timesteps: int | None = None  # default: num_steps - 1
     # fuse the frozen-reference pass into the policy apply (4b batch, one
-    # MXU-saturating call). False halves backward activation memory (the
-    # ref half is grad-free) — needed at 1024^2 on 16GB chips.
-    fuse_ref_pass: bool = True
+    # call). False runs the ref half as a separate grad-free forward —
+    # measured FASTER on v5e (the fused variant drags the ref half
+    # through backward+remat: ~35% more update FLOPs, BENCHMARKS.md) and
+    # halves backward activation memory (needed at 1024^2 on 16GB chips).
+    fuse_ref_pass: bool = False
     # train the full UNet instead of LoRA (reference ``use_lora=False``,
     # ``config_sdxl_turbo_dpo.py:36-38``): the trainable tree is the whole
     # param tree and the frozen reference is a SEPARATE weight copy (the

@@ -32,6 +32,66 @@ class PSOTrainState(NamedTuple):
         return PSOTrainState(step=self.step + 1, lora=new_lora, opt_state=new_opt)
 
 
+def make_lr_schedule(
+    name: str,
+    learning_rate: float,
+    warmup_steps: int = 0,
+    total_steps: int = 0,
+    num_cycles: float | None = None,
+    power: float = 1.0,
+    lr_end: float = 1e-7,
+) -> optax.Schedule:
+    """diffusers ``get_scheduler`` name-compatible LR schedules
+    (reference ``train_pso_sdxl_turbo_dreambooth.py:1614-1622``:
+    --lr_scheduler/--lr_warmup_steps/--lr_num_cycles/--lr_power).
+
+    Names: constant | constant_with_warmup | linear | cosine |
+    cosine_with_restarts | polynomial. All include the linear warmup.
+    """
+    import math as _math
+
+    w = max(int(warmup_steps), 0)
+    t = max(int(total_steps), w + 1)
+
+    def sched(step):
+        s = jnp.asarray(step, jnp.float32)
+        warm = jnp.minimum(s / jnp.maximum(w, 1), 1.0) if w else jnp.ones(())
+        progress = jnp.clip((s - w) / jnp.maximum(t - w, 1), 0.0, 1.0)
+        if name == "constant":
+            factor = jnp.ones(())
+        elif name == "constant_with_warmup":
+            factor = jnp.ones(())
+        elif name == "linear":
+            factor = 1.0 - progress
+        elif name == "cosine":
+            cycles = 0.5 if num_cycles is None else float(num_cycles)
+            factor = jnp.maximum(
+                0.0, 0.5 * (1.0 + jnp.cos(_math.pi * cycles * 2.0 * progress))
+            )
+        elif name == "cosine_with_restarts":
+            cycles = 1.0 if num_cycles is None else float(num_cycles)
+            factor = jnp.where(
+                progress >= 1.0,
+                0.0,
+                jnp.maximum(
+                    0.0, 0.5 * (1.0 + jnp.cos(_math.pi * ((cycles * progress) % 1.0)))
+                ),
+            )
+        elif name == "polynomial":
+            # matches transformers: decay from lr to lr_end with given power
+            factor = jnp.where(
+                progress >= 1.0,
+                lr_end / learning_rate,
+                ((learning_rate - lr_end) * (1.0 - progress) ** power + lr_end)
+                / learning_rate,
+            )
+        else:
+            raise ValueError(f"unknown lr scheduler {name!r}")
+        return learning_rate * warm * factor
+
+    return sched
+
+
 def make_optimizer(
     learning_rate: float = 1e-5,
     beta1: float = 0.9,

@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 
 SAMPLER = os.environ.get("PSO_SAMPLER", "turbo")  # turbo | dmd
-FUSE = os.environ.get("PSO_FUSE_REF", "1") == "1"
+FUSE = os.environ.get("PSO_FUSE_REF", "0") == "1"  # unfused = measured default
 REMAT = os.environ.get("PSO_REMAT", "full")
 ATTN = os.environ.get("PSO_ATTN", "xla")
 RES = int(os.environ.get("PSO_RES", "1024" if SAMPLER == "dmd" else "512"))

@@ -246,6 +246,114 @@ def test_dreambooth_cli_validation_te_lora_and_resume(tmp_path):
     assert int(state.step) == 3
 
 
+def test_dreambooth_cli_prodigy_dora_kohya_prior(tmp_path):
+    """The optimizer/adapter option surface in one tiny run: prodigy,
+    DoRA, lr scheduler, prior-preservation class pool (pregenerated),
+    epochs->steps math, kohya export, checkpoint retention."""
+    from PIL import Image
+
+    from pairwise_sample_optimization_tpu.cli.train_pso_sdxl_turbo_dreambooth import (
+        main,
+    )
+
+    d = tmp_path / "instance"
+    d.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(4):
+        Image.fromarray(
+            rng.integers(0, 255, (24, 24, 3), dtype=np.uint8)
+        ).save(d / f"{i}.png")
+    class_dir = tmp_path / "class"
+
+    state = main(
+        [
+            "--tiny",
+            f"--instance_data_dir={d}",
+            "--instance_prompt=a photo of sks dog",
+            "--class_prompt=a photo of dog",
+            "--resolution=16",
+            "--train_batch_size=2",
+            "--gradient_accumulation_steps=1",
+            # no --max_train_steps: 1 epoch x ceil(4 / (2*1)) = 2 steps
+            "--num_train_epochs=1",
+            "--optimizer=prodigy",
+            "--learning_rate=1.0",
+            "--lr_scheduler=cosine",
+            "--lr_warmup_steps=1",
+            "--use_dora",
+            "--random_flip",
+            "--with_prior_preservation",
+            f"--class_data_dir={class_dir}",
+            "--num_class_images=2",
+            "--rank=2",
+            "--checkpointing_steps=1",
+            "--checkpoints_total_limit=1",
+            "--output_kohya_format",
+            "--skip_validation",
+            f"--output_dir={tmp_path / 'out'}",
+        ]
+    )
+    assert int(state.step) == 2
+    # class pool pregenerated on disk
+    assert len(os.listdir(class_dir)) == 2
+    # kohya-format export exists with the kohya key layout + DoRA scales
+    from safetensors import safe_open
+
+    with safe_open(
+        str(tmp_path / "out" / "lora-2" / "pytorch_lora_weights_kohya.safetensors"),
+        framework="numpy",
+    ) as f:
+        keys = list(f.keys())
+    assert any(k.startswith("lora_unet_") and k.endswith(".lora_down.weight")
+               for k in keys)
+    assert any(k.endswith(".alpha") for k in keys)
+    assert any(k.endswith(".dora_scale") for k in keys)
+    # retention pruned to the newest checkpoint
+    from pairwise_sample_optimization_tpu.checkpoints import latest_checkpoint
+
+    kept = [f for f in os.listdir(tmp_path / "out") if f.startswith("checkpoint")]
+    assert len(kept) == 1
+    assert latest_checkpoint(str(tmp_path / "out")).endswith("-2")
+
+
+def test_dreambooth_cli_8bit_adam_and_te_weight_decay(tmp_path):
+    from PIL import Image
+
+    from pairwise_sample_optimization_tpu.cli.train_pso_sdxl_turbo_dreambooth import (
+        main,
+    )
+
+    d = tmp_path / "instance"
+    d.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(2):
+        Image.fromarray(
+            rng.integers(0, 255, (24, 24, 3), dtype=np.uint8)
+        ).save(d / f"{i}.png")
+    state = main(
+        [
+            "--tiny",
+            f"--instance_data_dir={d}",
+            "--instance_prompt=a photo of sks dog",
+            "--resolution=16",
+            "--train_batch_size=1",
+            "--gradient_accumulation_steps=1",
+            "--max_train_steps=1",
+            "--use_8bit_adam",
+            "--train_text_encoder",
+            "--adam_weight_decay_text_encoder=0.01",
+            "--lr_scheduler=constant_with_warmup",
+            "--lr_warmup_steps=2",
+            "--num_negatives=2",
+            "--rank=2",
+            "--checkpointing_steps=5",
+            "--skip_validation",
+            f"--output_dir={tmp_path / 'out8'}",
+        ]
+    )
+    assert int(state.step) == 1
+
+
 def test_dreambooth_validation_prompts():
     from pairwise_sample_optimization_tpu.train.db_validation import (
         dreambooth_validation_prompts,
