@@ -324,14 +324,19 @@ def main(argv=None):
     )
     gen = jax.jit(lambda cond, key: pipe.generate(cond, key, num_steps=4))
 
-    def generate_images(n, key0, note):
+    def generate_images(n, key0, note, batch_size=1):
+        """n images in --sample_batch_size batches (one compile; the
+        final partial batch is over-generated and trimmed)."""
+        bsz = max(1, min(batch_size, n))
+        cond_b = jax.tree.map(
+            lambda x: jnp.tile(x, (bsz,) + (1,) * (x.ndim - 1)), neg_cond
+        )
         out = []
-        for i in range(n):
-            img = gen(neg_cond, jax.random.fold_in(key0, i))
-            out.append(np.asarray(img)[0])
-            if (i + 1) % 5 == 0:
-                logger.info("generated %d/%d %s", i + 1, n, note)
-        return out
+        for i in range(-(-n // bsz)):
+            img = gen(cond_b, jax.random.fold_in(key0, i))
+            out.extend(np.asarray(img))
+            logger.info("generated %d/%d %s", min(len(out), n), n, note)
+        return out[:n]
 
     if args.with_prior_preservation and args.class_data_dir:
         # loser pool = class images on disk, pregenerated up to
@@ -348,7 +353,8 @@ def main(argv=None):
 
             logger.info("pregenerating %d class images", missing)
             imgs = generate_images(
-                missing, jax.random.key(args.seed + 2), "class images"
+                missing, jax.random.key(args.seed + 2), "class images",
+                batch_size=args.sample_batch_size,
             )
             for j, im in enumerate(imgs):
                 arr = np.clip((im + 1.0) * 127.5, 0, 255).astype(np.uint8)

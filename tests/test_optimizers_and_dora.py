@@ -263,6 +263,34 @@ def test_lr_schedules_match_diffusers_shapes():
         make_lr_schedule("nope", lr, 0, 10)(0)
 
 
+def test_dreambooth_cli_no_dead_flags():
+    """Every parsed DreamBooth CLI flag must be consumed after parsing
+    (the reference's parsed-but-dead knobs are carried ONLY as documented
+    PARITY-INERT args). Guards against the round-1 class of dead knobs."""
+    import inspect
+    import re
+
+    from pairwise_sample_optimization_tpu.cli import (
+        train_pso_sdxl_turbo_dreambooth as M,
+    )
+
+    src = inspect.getsource(M)
+    flags = re.findall(r'add_argument\(\s*"--([a-z_0-9]+)"', src)
+    assert len(flags) > 40, flags
+    inert = {
+        f for f in flags
+        if re.search(rf'"--{f}"[^)]*PARITY-INERT', src, re.DOTALL)
+        and src.index(f'"--{f}"') > 0
+    }
+    assert inert == {"snr_gamma", "gamma_pso", "neg_generate_freq"}, inert
+    body = src[src.index("def _make_optimizer"):]
+    dead = [
+        f for f in flags
+        if f not in inert and not re.search(rf"args\.{f}\b", body)
+    ]
+    assert not dead, f"parsed but never consumed: {dead}"
+
+
 # ------------------------------------------------------------------ #
 # kohya export
 # ------------------------------------------------------------------ #
