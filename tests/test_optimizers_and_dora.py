@@ -291,6 +291,23 @@ def test_dreambooth_cli_no_dead_flags():
     assert not dead, f"parsed but never consumed: {dead}"
 
 
+@pytest.mark.parametrize("module", ["evaluate_sdxl_dmd2", "generate"])
+def test_other_clis_no_dead_flags(module):
+    import importlib
+    import inspect
+    import re
+
+    M = importlib.import_module(
+        f"pairwise_sample_optimization_tpu.cli.{module}"
+    )
+    src = inspect.getsource(M)
+    flags = re.findall(r'add_argument\(\s*"--([a-z_0-9]+)"', src)
+    assert flags
+    body = src[src.index("def main"):]
+    dead = [f for f in flags if not re.search(rf"args\.{f}\b", body)]
+    assert not dead, f"parsed but never consumed: {dead}"
+
+
 # ------------------------------------------------------------------ #
 # kohya export
 # ------------------------------------------------------------------ #
