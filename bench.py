@@ -158,7 +158,7 @@ def main():
     winner, _ = compiled(*args, jax.random.key(0))
     np.asarray(winner)
 
-    iters = 10
+    iters = int(os.environ.get("PSO_BENCH_ITERS", "20"))
     t0 = time.perf_counter()
     for i in range(iters):
         winner, scores = compiled(*args, jax.random.key(i + 1))

@@ -143,6 +143,70 @@ class TestTensorParallel:
                 np.asarray(a), np.asarray(b_), rtol=5e-3, atol=5e-3
             )
 
+    def test_unet_fsdp_matches_replicated(self):
+        """FSDP-sharded frozen params over data=8 must reproduce the
+        replicated forward and LoRA grads; large leaves must actually be
+        sharded (per-device shard = 1/8 of the leaf)."""
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 devices")
+        import jax.numpy as jnp
+
+        from pairwise_sample_optimization_tpu.models import SDXLUNet, UNetConfig
+        from pairwise_sample_optimization_tpu.parallel.fsdp import (
+            fsdp_param_shardings,
+            shard_params_fsdp,
+        )
+
+        mesh = make_mesh(MeshSpec(data=8, model=1))
+        cfg = UNetConfig.tiny(lora_rank=2)
+        model = SDXLUNet(cfg)
+        B = 8
+        inputs = dict(
+            sample=jax.random.normal(jax.random.key(0), (B, 8, 8, 4)),
+            timesteps=jnp.zeros((B,)),
+            encoder_hidden_states=jax.random.normal(
+                jax.random.key(1), (B, 5, cfg.cross_attention_dim)
+            ),
+            pooled_text_embeds=jax.random.normal(
+                jax.random.key(2), (B, cfg.pooled_embed_dim)
+            ),
+            add_time_ids=jnp.zeros((B, 6)),
+        )
+        variables = model.init(jax.random.key(3), **inputs)
+        ref_out = model.apply(variables, **inputs)
+
+        min_size = 2**10  # tiny model: lower the shard threshold
+        params = shard_params_fsdp(variables["params"], mesh, min_size)
+        # at least one leaf is genuinely sharded 1/8
+        shardings = fsdp_param_shardings(variables["params"], mesh, min_size)
+        sharded_leaves = [
+            (l, s) for l, s in zip(jax.tree.leaves(params), jax.tree.leaves(shardings))
+            if s.spec != jax.sharding.PartitionSpec()
+        ]
+        assert sharded_leaves
+        l0, _ = sharded_leaves[0]
+        shard_shape = l0.addressable_shards[0].data.shape
+        assert np.prod(shard_shape) == l0.size // 8
+
+        batch = jax.tree.map(
+            lambda x: jax.device_put(x, data_sharding(mesh, x.ndim)), inputs
+        )
+        v = {"params": params, "lora": variables["lora"]}
+        out = jax.jit(lambda v_, b: model.apply(v_, **b))(v, batch)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref_out), rtol=2e-4, atol=2e-4
+        )
+
+        def loss(lora, p, b):
+            return jnp.sum(model.apply({"params": p, "lora": lora}, **b) ** 2)
+
+        g_ref = jax.grad(loss)(variables["lora"], variables["params"], inputs)
+        g_fsdp = jax.jit(jax.grad(loss))(variables["lora"], params, batch)
+        for a, b_ in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_fsdp)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b_), rtol=5e-3, atol=5e-3
+            )
+
     def test_specs_divide_sdxl_dims(self):
         """Sharded dims of the full SDXL config divide a model=4 axis."""
         from pairwise_sample_optimization_tpu.parallel.tp import (
