@@ -73,6 +73,11 @@ def run_online_pso(config, sampler: str, num_epochs: Optional[int] = None):
 
     attention_ops.set_default_impl(config.kernels.attention_impl)
     gn_ops.set_use_pallas(config.kernels.fused_groupnorm)
+    from ..ops import upsample as upsample_ops
+
+    upsample_ops.set_use_subpixel(
+        bool(config.kernels.get("subpixel_upsample", False))
+    )
 
     mesh = make_mesh(MeshSpec(config.mesh.data, config.mesh.model))
     logger.info("mesh: %s", mesh)

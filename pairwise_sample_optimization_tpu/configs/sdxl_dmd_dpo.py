@@ -20,7 +20,9 @@ def get_config():
     # DMD2 quirk parity: transition noise shared across the batch
     config.sample.shared_noise = True
     # 1024^2 memory: tiled GN (size-gated) + chunked VAE decode keep the
-    # decoder's activation peak inside 16GB
+    # decoder's activation peak inside 16GB; subpixel upsample stays on
+    # here (the r2 DMD numbers, BENCHMARKS.md, were measured with it)
     config.kernels.fused_groupnorm = True
+    config.kernels.subpixel_upsample = True
     config.vae_decode_chunk = 2
     return config

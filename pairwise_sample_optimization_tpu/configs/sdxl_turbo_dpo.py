@@ -98,8 +98,16 @@ def get_config():
     kernels.attention_impl = "xla"  # global default: "xla" | "pallas" | "naive"
     # UNet-only override ("" = global default); UNet shapes favor pallas
     kernels.unet_attention_impl = ""
-    # size-gated Pallas GroupNorm+SiLU (fires on decoder-scale activations)
-    kernels.fused_groupnorm = True
+    # size-gated Pallas GroupNorm+SiLU. Module-isolated it wins on
+    # decoder-scale activations (3.4 vs 3.9 ms) but in the full 512^2
+    # program it costs ~3% (the custom call blocks XLA fusion around it;
+    # BENCHMARKS.md headline matrix) — off by default, on for the
+    # memory-tight 1024^2 DMD2 config.
+    kernels.fused_groupnorm = False
+    # subpixel rewrite of nearest-2x-upsample+conv (2.25x fewer FLOPs
+    # isolated, but the depth-to-space interleave breaks conv fusion in
+    # the 512^2 decoder: end-to-end it measures SLOWER — off by default)
+    kernels.subpixel_upsample = False
 
     # ---- data ----
     config.prompt_json = ""  # 4k_training_prompts.json-style list

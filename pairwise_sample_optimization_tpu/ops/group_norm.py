@@ -12,11 +12,13 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-_USE_PALLAS = True
-# pallas wins only once the activation is large enough that the extra HBM
-# pass dominates (measured on v5e: VAE-decoder 512^2 x128 3.4ms vs 3.9ms
-# XLA; small UNet shapes lose) — gate by element count. On by default
-# since round 2: the gate keeps it to decoder-scale activations.
+_USE_PALLAS = False
+# pallas wins module-isolated on decoder-scale activations (3.4 vs
+# 3.9 ms at 512^2 x128) but costs ~3% in the full 512^2 program — the
+# custom call blocks fusion with the surrounding convs (BENCHMARKS.md
+# headline matrix). Default OFF; the 1024^2 DMD2 config turns it on
+# (kernels.fused_groupnorm) where the tiled kernel also bounds the
+# normalization's activation peak. Gate by element count when enabled.
 _PALLAS_MIN_ELEMS = 4 * 1024 * 1024
 
 

@@ -16,6 +16,12 @@ That is 4 * (2*2) = 16 MACs per coarse pixel instead of 4 * (3*3) = 36 —
 64->128 c512 4.74 -> 3.52 ms; 128->256 c512 15.4 -> 12.1 ms;
 256->512 c256 16.9 -> 15.4 ms (scripts/microbench_vae.py).
 
+The module-level win does NOT compose in the full 512^2 decoder: the
+depth-to-space interleave after the 4o-channel conv breaks XLA's
+conv->norm fusion and the end-to-end headline measures ~5% slower
+(BENCHMARKS.md matrix) — so dispatch defaults to the naive path; the
+rewrite stays behind ``set_use_subpixel`` / ``kernels.subpixel_upsample``.
+
 Numerics: the collapsed taps (e.g. K1+K2) are summed in fp32. Versus the
 naive path this reorders one addition from the MXU accumulator into the
 kernel — exact in fp32, within 1 ulp of the weights in bf16.
@@ -28,7 +34,7 @@ import jax.numpy as jnp
 from jax import lax
 
 _DN = ("NHWC", "HWIO", "NHWC")
-_USE_SUBPIXEL = True
+_USE_SUBPIXEL = False
 
 
 def set_use_subpixel(flag: bool) -> None:

@@ -327,10 +327,11 @@ def test_vae_encoder_matches_torch():
     _assert_close(logvar, torch.clamp(want_logvar, -30.0, 20.0))
 
 
-def test_upsample_op_matches_torch_interpolate_conv():
-    """ops.upsample (subpixel path) == torch nearest-interpolate + conv —
-    the semantics of diffusers Upsample2D."""
-    from pairwise_sample_optimization_tpu.ops.upsample import upsample2x_conv3x3
+@pytest.mark.parametrize("subpixel", [False, True])
+def test_upsample_op_matches_torch_interpolate_conv(subpixel):
+    """ops.upsample (both dispatch paths) == torch nearest-interpolate +
+    conv — the semantics of diffusers Upsample2D."""
+    from pairwise_sample_optimization_tpu.ops import upsample as ups
 
     torch.manual_seed(11)
     c, o = 12, 16
@@ -341,7 +342,12 @@ def test_upsample_op_matches_torch_interpolate_conv():
 
     kernel = jnp.asarray(tconv.weight.detach().numpy().transpose(2, 3, 1, 0))
     bias = jnp.asarray(tconv.bias.detach().numpy())
-    got = upsample2x_conv3x3(
-        jnp.asarray(x.numpy().transpose(0, 2, 3, 1)), kernel, bias
-    )
+    prev = ups._USE_SUBPIXEL
+    ups.set_use_subpixel(subpixel)
+    try:
+        got = ups.upsample2x_conv3x3(
+            jnp.asarray(x.numpy().transpose(0, 2, 3, 1)), kernel, bias
+        )
+    finally:
+        ups.set_use_subpixel(prev)
     _assert_close(got, want)
