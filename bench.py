@@ -112,16 +112,12 @@ def main():
         return winner, scores
 
     # Weights are jit ARGUMENTS (not baked closure constants: that would
-    # double HBM and slow compiles), with AUTO input layouts so XLA still
-    # gets its preferred parameter layouts — device_put once up front
-    # instead of relayout-per-call.
-    from jax.experimental.layout import Format, Layout
-
-    AUTO = Format(Layout.AUTO)
-    n_weight_args = 5  # unet, vae, scorer, te1, te2
-    fn = jax.jit(
-        program, in_shardings=(AUTO,) * n_weight_args + (None,) * 4
-    )
+    # double HBM and slow compiles) in plain default layouts: measured
+    # equal to XLA's AUTO preferred layouts (12.04 vs 12.01 pairs/s) and
+    # robust — the AUTO relayout dance is flaky through the axon stack
+    # (device_put does not honor some conv-kernel tilings; identity-jit
+    # relayout still misses leaves on cache hits). PSO_AUTO_LAYOUT=1
+    # re-enables it, with fallback.
     args = (
         pipe.unet_variables,
         pipe.vae_variables,
@@ -135,37 +131,49 @@ def main():
 
     import numpy as np
 
-    compiled = fn.lower(*args, jax.random.key(0)).compile()
-    formats = compiled.input_formats[0]
+    compiled = None
+    if os.environ.get("PSO_AUTO_LAYOUT", "0") == "1":
+        try:
+            from jax.experimental.layout import Format, Layout
 
-    def relayout(tree, fmt):
-        # leaf-by-leaf with immediate source delete: a whole-tree second
-        # copy would OOM 16GB HBM (donate=True misapplies some layouts).
-        # The copy runs as a jitted identity with an explicit output
-        # format — plain device_put does not honor some conv-kernel
-        # tilings and the precompiled executable then rejects the arg.
-        def one(x, f):
-            y = jax.jit(lambda a: a, out_shardings=f)(x)
-            jax.block_until_ready(y)
-            if x is not y:
-                x.delete()
-            return y
+            AUTO = Format(Layout.AUTO)
+            n_weight_args = 5  # unet, vae, scorer, te1, te2
+            fn = jax.jit(
+                program, in_shardings=(AUTO,) * n_weight_args + (None,) * 4
+            )
+            auto_compiled = fn.lower(*args, jax.random.key(0)).compile()
+            formats = auto_compiled.input_formats[0]
 
-        return jax.tree.map(one, tree, fmt)
+            def relayout(tree, fmt):
+                # one jitted identity per weight tree (per-leaf jits =
+                # hundreds of tiny remote compiles); donation frees each
+                # source buffer as its copy lands
+                y = jax.jit(lambda t: t, out_shardings=fmt, donate_argnums=0)(
+                    tree
+                )
+                jax.block_until_ready(y)
+                return y
 
-    args = tuple(relayout(a, f) for a, f in zip(args, formats[:-1]))
-    pipe.unet_variables, pipe.vae_variables, scorer.variables = args[0], args[1], args[2]
-    pipe.te1_variables, pipe.te2_variables = args[3], args[4]
+            # replace args in place as each tree is relaid: relayout
+            # donates the source, so on a mid-way failure `args` must
+            # keep pointing at whichever buffers are still alive
+            args = list(args)
+            for i, f in enumerate(formats[:n_weight_args]):
+                args[i] = relayout(args[i], f)
+            args = tuple(args)
+            winner, _ = auto_compiled(*args, jax.random.key(0))
+            np.asarray(winner)  # readback = the only reliable axon sync
+            pipe.unet_variables, pipe.vae_variables = args[0], args[1]
+            scorer.variables = args[2]
+            pipe.te1_variables, pipe.te2_variables = args[3], args[4]
+            compiled = auto_compiled
+        except ValueError as e:
+            args = tuple(args)
+            print(f"# AUTO-layout path failed ({type(e).__name__}); "
+                  "falling back to default layouts", file=sys.stderr)
 
-    # compile + warmup; NOTE: value readback is the only reliable device
-    # sync through the axon tunnel (block_until_ready can return early)
-    try:
-        winner, _ = compiled(*args, jax.random.key(0))
-        np.asarray(winner)
-    except ValueError:
-        # residual layout disagreement: fall back to the jit wrapper,
-        # which inserts the relayout copies itself (~ms/call of D2D)
-        compiled = fn
+    if compiled is None:
+        compiled = jax.jit(program).lower(*args, jax.random.key(0)).compile()
         winner, _ = compiled(*args, jax.random.key(0))
         np.asarray(winner)
 
