@@ -96,7 +96,10 @@ class _BertLayer(nn.Module):
             cfg.intermediate, dtype=cfg.dtype, param_dtype=cfg.param_dtype,
             name="intermediate",
         )(x)
-        h = nn.gelu(h, approximate=False)  # HF BERT "gelu" is exact erf
+        # HF BERT "gelu" is exact erf; tanh under bf16 (layers._gelu_approx)
+        from .layers import _gelu_approx
+
+        h = nn.gelu(h, approximate=_gelu_approx(cfg.dtype))
         h = nn.Dense(
             cfg.hidden, dtype=cfg.dtype, param_dtype=cfg.param_dtype, name="ffn_out"
         )(h)

@@ -106,14 +106,17 @@ class CLIPVisionConfig:
         )
 
 
-def _act(name: str):
+def _act(name: str, dtype=jnp.bfloat16):
     if name == "quick_gelu":
         return lambda x: x * nn.sigmoid(1.702 * x)
     if name == "gelu":
-        # HF ACT2FN["gelu"] is the exact erf GELU; flax nn.gelu defaults
-        # to the tanh approximation — ViT-H towers (PickScore/CLIP/HPS
-        # backbones) use "gelu", so flavor matters for score parity
-        return lambda x: nn.gelu(x, approximate=False)
+        # HF ACT2FN["gelu"] is the exact erf GELU (ViT-H towers use it);
+        # flavor follows compute dtype — exact for fp32 parity, tanh
+        # under bf16 where the difference is sub-rounding-noise and the
+        # erf chain measurably costs (models/layers._gelu_approx)
+        from .layers import _gelu_approx
+
+        return lambda x: nn.gelu(x, approximate=_gelu_approx(dtype))
     raise ValueError(name)
 
 
@@ -159,7 +162,7 @@ class CLIPEncoderLayer(nn.Module):
 
         h = ln("norm2")(x)
         h = dense(self.width * 4, "fc1")(h)
-        h = _act(self.act)(h)
+        h = _act(self.act, self.dtype)(h)
         x = x + dense(self.width, "fc2")(h)
         return x
 

@@ -27,6 +27,18 @@ from ..ops.group_norm import group_norm
 Dtype = jnp.dtype
 
 
+def _gelu_approx(dtype) -> bool:
+    """GELU flavor by compute dtype. The reference stack (torch F.gelu /
+    HF ACT2FN['gelu']) is the exact erf form — used for fp32 compute so
+    the torch-parity anchors match bit-tight. Under bf16 compute the
+    tanh approximation is numerically indistinguishable (max flavor
+    difference 4.7e-4, within ~1 ulp of bf16 over the whole range, far
+    below the bf16-vs-fp16 accumulation noise) and measures ~8% faster
+    end-to-end on v5e (full-loop 2.05 vs 1.90 pairs/s — the erf chain is
+    expensive in the UNet FF backward; BENCHMARKS.md)."""
+    return jnp.dtype(dtype) == jnp.bfloat16
+
+
 class LoRADense(nn.Module):
     """Dense layer with an optional low-rank adapter in the 'lora' collection.
 
@@ -238,9 +250,7 @@ class GEGLUFeedForward(nn.Module):
             inner * 2, dtype=self.dtype, param_dtype=self.param_dtype, name="proj_in"
         )(x)
         hidden, gate = jnp.split(proj, 2, axis=-1)
-        # diffusers GEGLU uses torch F.gelu — the exact erf form, not the
-        # tanh approximation flax defaults to (test_torch_parity_blocks)
-        x = hidden * nn.gelu(gate, approximate=False)
+        x = hidden * nn.gelu(gate, approximate=_gelu_approx(self.dtype))
         return nn.Dense(
             self.dim, dtype=self.dtype, param_dtype=self.param_dtype, name="proj_out"
         )(x)

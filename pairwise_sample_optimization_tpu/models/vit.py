@@ -58,7 +58,10 @@ class _ViTBlock(nn.Module):
         x = x + dense(cfg.width, "proj")(o)
         h = ln("norm2")(x)
         h = dense(cfg.width * cfg.mlp_ratio, "fc1")(h)
-        h = nn.gelu(h, approximate=False)  # BLIP/timm use exact-erf GELU
+        # BLIP/timm use exact-erf GELU; tanh under bf16 (layers._gelu_approx)
+        from .layers import _gelu_approx
+
+        h = nn.gelu(h, approximate=_gelu_approx(cfg.dtype))
         return x + dense(cfg.width, "fc2")(h)
 
 

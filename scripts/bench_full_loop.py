@@ -44,6 +44,14 @@ def main():
     from pairwise_sample_optimization_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
+    if SAMPLER == "dmd":
+        # mirror configs/sdxl_dmd_dpo.py: the 1024^2 config keeps the
+        # tiled GN + subpixel decode on (BENCHMARKS.md)
+        from pairwise_sample_optimization_tpu.ops.group_norm import set_use_pallas
+        from pairwise_sample_optimization_tpu.ops.upsample import set_use_subpixel
+
+        set_use_pallas(os.environ.get("PSO_FUSED_GN", "1") == "1")
+        set_use_subpixel(os.environ.get("PSO_SUBPIXEL", "1") == "1")
     from pairwise_sample_optimization_tpu.models.clip import (
         CLIPTextConfig,
         CLIPVisionConfig,
