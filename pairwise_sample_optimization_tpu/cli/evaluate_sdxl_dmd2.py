@@ -170,21 +170,31 @@ def main(argv=None):
 
     encode = jax.jit(pipe.encode_prompt)
     generate = jax.jit(
-        lambda cond, key: pipe.generate_dmd(cond, key, num_steps=args.num_steps)
+        lambda cond, keys: pipe.generate_dmd(
+            cond, None, num_steps=args.num_steps, sample_keys=keys
+        )
     )
 
-    # ---- generation + scoring ----
+    # ---- generation + scoring: each prompt's noise is keyed by its
+    # GLOBAL index, so the sharded run is bit-identical to single-process
+    # (the round-robin gather then restores dataset order) ----
     results = {name: [] for name in scorers}
-    key = jax.random.fold_in(jax.random.key(args.seed), rank)
+    root_key = jax.random.key(args.seed)
     bs = args.batch_size
     for start in range(0, len(shard), bs):
         batch_prompts = shard[start : start + bs]
         if len(batch_prompts) < bs:
-            batch_prompts = batch_prompts + [batch_prompts[-1]] * (bs - len(batch_prompts))
+            batch_prompts = batch_prompts + [batch_prompts[-1]] * (
+                bs - len(batch_prompts)
+            )
         cond = encode(
             jnp.asarray(tok1(batch_prompts)), jnp.asarray(tok2(batch_prompts))
         )
-        images = generate(cond, jax.random.fold_in(key, start))
+        global_idx = jnp.asarray(
+            [rank + n_proc * (start + j) for j in range(bs)], jnp.int32
+        )
+        keys = jax.vmap(lambda i: jax.random.fold_in(root_key, i))(global_idx)
+        images = generate(cond, keys)
         r_ids = jnp.asarray(tok_r(batch_prompts))
         for name, scorer in scorers.items():
             if name == "aesthetic":

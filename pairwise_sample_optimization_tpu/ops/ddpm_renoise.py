@@ -63,6 +63,7 @@ def distilled_step_with_logprob(
     x_t: jnp.ndarray,
     key: jax.Array,
     shared_noise: bool = True,
+    noise: jnp.ndarray | None = None,
 ):
     """Re-noise to ``prev_timestep``: x_prev ~ N(sqrt(abar_prev) x0, 1-abar_prev).
 
@@ -71,10 +72,13 @@ def distilled_step_with_logprob(
       timestep / prev_timestep: (B,) int32 lattice timesteps.
       shared_noise: draw one noise sample broadcast over the batch
         (reference parity) instead of i.i.d. per-sample noise.
+      noise: explicit (B, h, w, C) standard-normal transition noise —
+        overrides the draw (per-sample-keyed eval; shared_noise ignored).
     """
     mean, std = _prev_mean_std(alphas_cumprod, eps, timestep, prev_timestep, x_t)
-    noise_shape = (1,) + mean.shape[1:] if shared_noise else mean.shape
-    noise = jax.random.normal(key, noise_shape, dtype=jnp.float32)
+    if noise is None:
+        noise_shape = (1,) + mean.shape[1:] if shared_noise else mean.shape
+        noise = jax.random.normal(key, noise_shape, dtype=jnp.float32)
     std_b = _bcast(std, mean.ndim)
     x_prev = mean + std_b * noise
     logprob = _gaussian_logprob_mean(x_prev, mean, std_b)

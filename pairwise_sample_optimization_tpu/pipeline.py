@@ -330,29 +330,53 @@ class SDXLPipeline:
     def generate_dmd(
         self,
         cond: dict,
-        key: jax.Array,
+        key: Optional[jax.Array],
         num_steps: int = 4,
         lora_scale: float = 1.0,
         shared_noise: bool = True,
         unet_variables=None,
         vae_variables=None,
+        sample_keys: Optional[jax.Array] = None,
     ):
         """DMD2 txt2img on the fixed lattice (e.g. [999,749,499,249]),
-        guidance 0 — the reference eval protocol (``evaluate_sdxl_dmd2.py``)."""
+        guidance 0 — the reference eval protocol (``evaluate_sdxl_dmd2.py``).
+
+        ``sample_keys`` (B,) keys make every sample's noise (init +
+        transitions) a function of ITS key only — the eval CLI keys each
+        prompt by global index, so multi-process sharded evaluation is
+        bit-identical to a single-process run (``key``/``shared_noise``
+        are ignored then)."""
         timesteps = jnp.asarray(distill_timesteps(num_steps))
         alphas_cumprod = make_alphas_cumprod()
         b = cond["embeds"].shape[0]
         hw = self.latent_hw
+        c = self.unet_config.in_channels
         uv = unet_variables if unet_variables is not None else self.unet_variables
-        k_init, k_traj = jax.random.split(key)
-        init = jax.random.normal(
-            k_init, (b, hw, hw, self.unet_config.in_channels), jnp.float32
-        )
+        if sample_keys is not None:
+            init = jax.vmap(
+                lambda k: jax.random.normal(
+                    jax.random.fold_in(k, 0), (hw, hw, c), jnp.float32
+                )
+            )(sample_keys)
+            trans = jax.vmap(
+                lambda k: jax.vmap(
+                    lambda i: jax.random.normal(
+                        jax.random.fold_in(k, 1 + i), (hw, hw, c), jnp.float32
+                    )
+                )(jnp.arange(num_steps - 1))
+            )(sample_keys)  # (B, S-1, h, w, c)
+            trans = jnp.moveaxis(trans, 0, 1)
+            k_traj = jax.random.key(0)  # unused (explicit noise)
+        else:
+            k_init, k_traj = jax.random.split(key)
+            init = jax.random.normal(k_init, (b, hw, hw, c), jnp.float32)
+            trans = None
 
         def eps_fn(x, t):
             return self.unet_apply(uv, x, t, cond, lora_scale)
 
         traj = sample_dmd_trajectories(
-            eps_fn, alphas_cumprod, timesteps, init, k_traj, shared_noise=shared_noise
+            eps_fn, alphas_cumprod, timesteps, init, k_traj,
+            shared_noise=shared_noise, transition_noise=trans,
         )
         return self.decode(traj.final_latents, vae_variables)

@@ -89,13 +89,15 @@ def sample_dmd_trajectories(
     init_latents: jnp.ndarray,  # (B, h, w, C) ~ N(0,1)
     key: jax.Array,
     shared_noise: bool = True,
+    transition_noise: jnp.ndarray | None = None,
 ) -> Trajectory:
     """SDXL-DMD2 rollout: DDPM re-noise transitions, deterministic final x0.
 
     DMD2's LCM-style ``init_noise_sigma`` is 1.0, so ``init_latents`` are
     used as-is. ``input_latents`` equals ``latents`` here (no Euler input
     scaling for the VP-parameterized distilled model) — kept so the train
-    loop is sampler-agnostic.
+    loop is sampler-agnostic. ``transition_noise`` (S-1, B, h, w, C)
+    overrides the internal per-step draw (per-sample-keyed eval).
     """
     num_steps = int(timesteps.shape[0])
     batch = init_latents.shape[0]
@@ -103,17 +105,28 @@ def sample_dmd_trajectories(
     step_keys = jax.random.split(key, num_steps - 1)
 
     def body(x, scan_in):
-        i, k = scan_in
+        i, k, nz = scan_in
         t = jnp.full((batch,), timesteps[i], jnp.int32)
         t_prev = jnp.full((batch,), timesteps[i + 1], jnp.int32)
         eps = eps_fn(x, t)
         x_next, logprob = distilled_step_with_logprob(
-            alphas_cumprod, eps, t, t_prev, x, k, shared_noise=shared_noise
+            alphas_cumprod, eps, t, t_prev, x, k,
+            shared_noise=shared_noise, noise=nz,
         )
         return x_next, (x, logprob)
 
+    if transition_noise is None:
+        scan_noise = jnp.zeros((num_steps - 1, 0))  # placeholder leaf
+
+        def body_wrap(x, scan_in):
+            i, k, _ = scan_in
+            return body(x, (i, k, None))
+    else:
+        scan_noise = transition_noise.astype(jnp.float32)
+        body_wrap = body
+
     x_last, (xs, logprobs) = jax.lax.scan(
-        body, x0, (jnp.arange(num_steps - 1), step_keys)
+        body_wrap, x0, (jnp.arange(num_steps - 1), step_keys, scan_noise)
     )
     # final deterministic step: x0 prediction at the last lattice timestep
     t_last = jnp.full((batch,), timesteps[-1], jnp.int32)

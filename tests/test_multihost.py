@@ -16,6 +16,7 @@ import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WORKER = os.path.join(REPO, "tests", "multihost_worker.py")
+EVAL_WORKER = os.path.join(REPO, "tests", "multihost_eval_worker.py")
 
 
 def _free_port() -> int:
@@ -60,3 +61,88 @@ def test_two_process_loopback():
     for r, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"rank {r} failed:\n{out}"
         assert f"WORKER_OK rank={r}" in out, out
+
+
+@pytest.mark.timeout(600)
+def test_two_process_eval_identical_to_single_process(tmp_path):
+    """VERDICT r1 #2 'done' criterion: the eval JSON written by rank 0 of
+    a 2-process sharded run is IDENTICAL to a single-process run on the
+    same prompts — generation noise is keyed by global prompt index and
+    the round-robin gather restores dataset order."""
+    import json
+    import subprocess
+
+    prompts = [f"a photo of thing {i}" for i in range(5)]  # odd: pad path
+    pfile = tmp_path / "prompts.json"
+    pfile.write_text(json.dumps([{"caption": p} for p in prompts]))
+
+    # single-process reference run in a SUBPROCESS with the same
+    # 1-CPU-device environment as the workers: the pytest harness's
+    # 8-fake-device flag partitions the XLA:CPU threadpool differently,
+    # which changes float accumulation order (not a correctness issue,
+    # but it would mask the exact-identity property under test)
+    single_out = tmp_path / "single.json"
+    p = subprocess.run(
+        [sys.executable, EVAL_WORKER],
+        env={
+            **os.environ,
+            "PSO_NUM_PROCESSES": "1",
+            "JAX_PLATFORMS": "cpu",
+            "XLA_FLAGS": "--xla_force_host_platform_device_count=1",
+            "PSO_EVAL_PROMPTS": str(pfile),
+            "PSO_EVAL_OUT": str(single_out),
+        },
+        capture_output=True,
+        text=True,
+        timeout=540,
+    )
+    assert p.returncode == 0, p.stdout + p.stderr
+    single = json.loads(single_out.read_text())
+
+    # 2-process sharded run
+    port = _free_port()
+    multi_out = tmp_path / "multi.json"
+    env_base = {
+        **os.environ,
+        "PSO_COORDINATOR": f"127.0.0.1:{port}",
+        "PSO_NUM_PROCESSES": "2",
+        "JAX_PLATFORMS": "cpu",
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=1",
+        "PSO_EVAL_PROMPTS": str(pfile),
+        "PSO_EVAL_OUT": str(multi_out),
+    }
+    procs = [
+        subprocess.Popen(
+            [sys.executable, EVAL_WORKER],
+            env={**env_base, "PSO_PROCESS_ID": str(r)},
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for r in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=540)
+            outs.append(out)
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        pytest.skip("distributed loopback timed out (environment limitation)")
+    for r, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"rank {r} failed:\n{out}"
+        assert f"EVAL_WORKER_OK rank={r}" in out, out
+
+    multi = json.loads(multi_out.read_text())
+    assert multi["per_prompt"]["prompts"] == prompts
+    for name in ("pickscore", "aesthetic"):
+        import numpy as np
+
+        np.testing.assert_allclose(
+            multi["per_prompt"][name],
+            single["per_prompt"][name],
+            rtol=0,
+            atol=0,
+            err_msg=f"{name} per-prompt scores diverge across process counts",
+        )
