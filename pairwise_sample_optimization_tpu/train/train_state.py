@@ -58,7 +58,8 @@ def make_lr_schedule(
         warm = jnp.minimum(s / jnp.maximum(w, 1), 1.0) if w else jnp.ones(())
         progress = jnp.clip((s - w) / jnp.maximum(t - w, 1), 0.0, 1.0)
         if name == "constant":
-            factor = jnp.ones(())
+            # diffusers "constant" has NO warmup (that's constant_with_warmup)
+            return jnp.full((), learning_rate)
         elif name == "constant_with_warmup":
             factor = jnp.ones(())
         elif name == "linear":

@@ -249,6 +249,10 @@ def test_lr_schedules_match_diffusers_shapes():
     np.testing.assert_allclose(float(cw(5)), lr * 0.5, rtol=1e-6)
     np.testing.assert_allclose(float(cw(99)), lr, rtol=1e-6)
 
+    # plain "constant" has NO warmup (diffusers semantics)
+    const = make_lr_schedule("constant", lr, 500, 100)
+    np.testing.assert_allclose(float(const(0)), lr, rtol=1e-6)
+
     poly = make_lr_schedule("polynomial", lr, 0, 100, power=2.0, lr_end=1e-7)
     np.testing.assert_allclose(float(poly(100)), 1e-7, rtol=1e-5)
 
