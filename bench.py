@@ -47,6 +47,10 @@ def main():
         from pairwise_sample_optimization_tpu.ops.group_norm import set_use_pallas
 
         set_use_pallas(os.environ["PSO_FUSED_GN"] == "1")
+    if os.environ.get("PSO_INT8_DECODE"):
+        from pairwise_sample_optimization_tpu.ops.qconv import set_use_int8_decode
+
+        set_use_int8_decode(os.environ["PSO_INT8_DECODE"] == "1")
     from pairwise_sample_optimization_tpu.models.clip import (
         CLIPTextConfig,
         CLIPVisionConfig,

@@ -78,6 +78,11 @@ def run_online_pso(config, sampler: str, num_epochs: Optional[int] = None):
     upsample_ops.set_use_subpixel(
         bool(config.kernels.get("subpixel_upsample", False))
     )
+    from ..ops import qconv as qconv_ops
+
+    qconv_ops.set_use_int8_decode(
+        bool(config.kernels.get("int8_vae_decode", False))
+    )
 
     mesh = make_mesh(MeshSpec(config.mesh.data, config.mesh.model))
     logger.info("mesh: %s", mesh)

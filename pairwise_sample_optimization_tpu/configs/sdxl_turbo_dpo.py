@@ -108,6 +108,9 @@ def get_config():
     # isolated, but the depth-to-space interleave breaks conv fusion in
     # the 512^2 decoder: end-to-end it measures SLOWER — off by default)
     kernels.subpixel_upsample = False
+    # dynamic-int8 VAE-decoder resnet convs (2x MXU rate): opt-in
+    # throughput/accuracy trade for sampling-heavy runs; never the UNet
+    kernels.int8_vae_decode = False
 
     # ---- data ----
     config.prompt_json = ""  # 4k_training_prompts.json-style list

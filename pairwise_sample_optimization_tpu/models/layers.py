@@ -333,28 +333,39 @@ class SpatialTransformer(nn.Module):
 
 
 class ResnetBlock(nn.Module):
-    """GN+SiLU -> conv -> (+time) -> GN+SiLU -> conv, with 1x1 skip."""
+    """GN+SiLU -> conv -> (+time) -> GN+SiLU -> conv, with 1x1 skip.
+
+    ``allow_int8``: the 3x3 convs may run through the dynamic-int8 path
+    when ``ops.qconv`` is globally enabled (VAE *decoder* only — an
+    opt-in throughput/accuracy trade; param names/shapes unchanged)."""
 
     out_channels: int
     use_time_emb: bool = True
     groups: int = 32
     eps: float = 1e-5
+    allow_int8: bool = False
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, temb=None):
+        from ..ops.qconv import decoder_conv2d
+
         in_channels = x.shape[-1]
-        conv = lambda name: nn.Conv(
-            self.out_channels,
-            (3, 3),
-            padding=((1, 1), (1, 1)),
-            dtype=self.dtype,
-            param_dtype=self.param_dtype,
-            name=name,
-        )
+
+        def conv(name, h):
+            kernel, bias = _ConvParams(
+                (3, 3, h.shape[-1], self.out_channels), self.param_dtype, name=name
+            )()
+            return decoder_conv2d(
+                h.astype(self.dtype),
+                kernel.astype(self.dtype),
+                bias.astype(self.dtype),
+                allow_int8=self.allow_int8,
+            )
+
         h = GroupNorm(self.groups, eps=self.eps, act="silu", param_dtype=self.param_dtype, name="norm1")(x)
-        h = conv("conv1")(h)
+        h = conv("conv1", h)
         if self.use_time_emb and temb is not None:
             t = nn.Dense(
                 self.out_channels,
@@ -364,7 +375,7 @@ class ResnetBlock(nn.Module):
             )(nn.silu(temb))
             h = h + t[:, None, None, :]
         h = GroupNorm(self.groups, eps=self.eps, act="silu", param_dtype=self.param_dtype, name="norm2")(h)
-        h = conv("conv2")(h)
+        h = conv("conv2", h)
         if in_channels != self.out_channels:
             x = nn.Conv(
                 self.out_channels,

@@ -29,6 +29,9 @@ class VAEConfig:
     layers_per_block: int = 2
     norm_groups: int = 32
     scaling_factor: float = 0.13025
+    # decoder resnet 3x3 convs may use the dynamic-int8 path when
+    # ops.qconv is enabled (opt-in throughput mode; encoder never)
+    decoder_allow_int8: bool = True
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -110,7 +113,8 @@ class Decoder(nn.Module):
         channels = list(reversed(cfg.block_out_channels))
         resnet = lambda ch, name: ResnetBlock(
             ch, use_time_emb=False, groups=cfg.norm_groups, eps=1e-6,
-            dtype=dt, param_dtype=pdt, name=name,
+            allow_int8=cfg.decoder_allow_int8, dtype=dt, param_dtype=pdt,
+            name=name,
         )
         h = nn.Conv(
             channels[0], (3, 3), padding=((1, 1), (1, 1)),

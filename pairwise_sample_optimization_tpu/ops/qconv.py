@@ -1,0 +1,78 @@
+"""Dynamic-int8 2D convolution for the VAE decoder (opt-in).
+
+The decoder's 3x3 convs are the headline bench's ceiling-setter (62% of
+step time, ~63% of bf16 MXU peak — BENCHMARKS.md); the v5e MXU runs
+int8 at 2x the bf16 rate (microbenched 178-190 TOP/s vs 133 TF/s on
+these shapes, scripts/microbench_vae.py). This path quantizes
+per-call: activations per-tensor symmetric (dynamic max), weights
+per-output-channel symmetric, accumulate in int32, dequantize into the
+bias add. It is an accuracy/throughput TRADE (decoded pixels shift by
+~1e-2-class relative error) and therefore OFF by default — enable via
+``kernels.int8_vae_decode`` / ``set_use_int8_decode`` for
+throughput-oriented sampling; never used in the UNet or the scorers.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+_DN = ("NHWC", "HWIO", "NHWC")
+_USE_INT8_DECODE = False
+
+
+def set_use_int8_decode(flag: bool) -> None:
+    global _USE_INT8_DECODE
+    _USE_INT8_DECODE = flag
+
+
+def use_int8_decode() -> bool:
+    return _USE_INT8_DECODE
+
+
+def int8_conv2d(
+    x: jnp.ndarray,
+    kernel: jnp.ndarray,
+    bias: jnp.ndarray | None = None,
+    stride: int = 1,
+    padding: tuple = ((1, 1), (1, 1)),
+) -> jnp.ndarray:
+    """Dynamic-int8 conv: x (B,H,W,C), kernel (kh,kw,C,O) HWIO.
+
+    y = conv(q(x), q(W)) * (s_x * s_w[o]) + bias, int32 accumulation.
+    """
+    xf = x.astype(jnp.float32)
+    kf = kernel.astype(jnp.float32)
+    s_x = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-8) / 127.0
+    s_w = jnp.maximum(jnp.max(jnp.abs(kf), axis=(0, 1, 2)), 1e-8) / 127.0  # (O,)
+    xq = jnp.clip(jnp.round(xf / s_x), -127, 127).astype(jnp.int8)
+    wq = jnp.clip(jnp.round(kf / s_w), -127, 127).astype(jnp.int8)
+    acc = lax.conv_general_dilated(
+        xq, wq, (stride, stride), padding,
+        dimension_numbers=_DN, preferred_element_type=jnp.int32,
+    )
+    y = acc.astype(jnp.float32) * (s_x * s_w)
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def decoder_conv2d(
+    x: jnp.ndarray,
+    kernel: jnp.ndarray,
+    bias: jnp.ndarray | None = None,
+    stride: int = 1,
+    padding: tuple = ((1, 1), (1, 1)),
+    allow_int8: bool = False,
+) -> jnp.ndarray:
+    """Conv dispatch for decoder resnet convs: int8 when globally enabled
+    AND the call site allows it; plain conv otherwise."""
+    if allow_int8 and _USE_INT8_DECODE:
+        return int8_conv2d(x, kernel, bias, stride, padding)
+    y = lax.conv_general_dilated(
+        x, kernel, (stride, stride), padding, dimension_numbers=_DN
+    )
+    if bias is not None:
+        y = y + bias.astype(y.dtype)
+    return y

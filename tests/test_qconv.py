@@ -1,0 +1,87 @@
+"""Dynamic-int8 decoder conv: quantization math, dispatch gating, and
+end-to-end decoder sanity."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pairwise_sample_optimization_tpu.ops import qconv
+
+
+@pytest.fixture(autouse=True)
+def _int8_off_after():
+    yield
+    qconv.set_use_int8_decode(False)
+
+
+def test_int8_conv_exact_on_representable_values():
+    """Integer-valued inputs/weights within [-127,127] scale ranges are
+    quantized losslessly -> the int8 conv must be EXACT."""
+    x = jnp.asarray(
+        np.random.default_rng(0).integers(-127, 128, (2, 6, 6, 4)), jnp.float32
+    )
+    k = jnp.asarray(
+        np.random.default_rng(1).integers(-127, 128, (3, 3, 4, 5)), jnp.float32
+    )
+    # scales: max|x|=127 -> s=1; per-channel kernel max 127 -> s=1
+    x = x.at[0, 0, 0, 0].set(127.0)
+    k = k.at[0, 0, 0].set(127.0)
+    b = jnp.arange(5, dtype=jnp.float32)
+    got = qconv.int8_conv2d(x, k, b)
+    want = jax.lax.conv_general_dilated(
+        x, k, (1, 1), ((1, 1), (1, 1)), dimension_numbers=("NHWC", "HWIO", "NHWC")
+    ) + b
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=0, atol=0)
+
+
+def test_int8_conv_close_on_random():
+    x = jax.random.normal(jax.random.key(0), (2, 8, 8, 16))
+    k = jax.random.normal(jax.random.key(1), (3, 3, 16, 8)) * 0.1
+    got = qconv.int8_conv2d(x, k)
+    want = jax.lax.conv_general_dilated(
+        x, k, (1, 1), ((1, 1), (1, 1)), dimension_numbers=("NHWC", "HWIO", "NHWC")
+    )
+    err = float(jnp.max(jnp.abs(got - want)) / jnp.max(jnp.abs(want)))
+    assert err < 0.05, err  # dynamic per-tensor/per-channel int8 error band
+
+
+def test_dispatch_gated_globally_and_per_site():
+    x = jax.random.normal(jax.random.key(0), (1, 4, 4, 3))
+    k = jax.random.normal(jax.random.key(1), (3, 3, 3, 2))
+    exact = qconv.decoder_conv2d(x, k, allow_int8=True)  # global flag off
+    want = jax.lax.conv_general_dilated(
+        x, k, (1, 1), ((1, 1), (1, 1)), dimension_numbers=("NHWC", "HWIO", "NHWC")
+    )
+    np.testing.assert_allclose(np.asarray(exact), np.asarray(want), atol=1e-6)
+
+    qconv.set_use_int8_decode(True)
+    q = qconv.decoder_conv2d(x, k, allow_int8=True)
+    assert float(jnp.max(jnp.abs(q - want))) > 0.0  # quantized path taken
+    site_off = qconv.decoder_conv2d(x, k, allow_int8=False)  # UNet sites
+    np.testing.assert_allclose(np.asarray(site_off), np.asarray(want), atol=1e-6)
+
+
+def test_vae_decoder_int8_mode_close_to_fp():
+    from pairwise_sample_optimization_tpu.models.vae import AutoencoderKL, VAEConfig
+
+    cfg = VAEConfig.tiny()
+    vae = AutoencoderKL(cfg)
+    x = jax.random.normal(jax.random.key(1), (1, 16, 16, 3))
+    v = vae.init(jax.random.key(0), x, jax.random.key(2))
+    z = jax.random.normal(jax.random.key(3), (1, 4, 4, cfg.latent_channels))
+
+    ref = vae.apply(v, z, method=vae.decode)
+    qconv.set_use_int8_decode(True)
+    q = jax.jit(lambda v_, z_: vae.apply(v_, z_, method=vae.decode))(v, z)
+    # int8 resnet convs: output stays in a tight relative band of the
+    # fp decode (zero-informative weights here; real-weight quality is a
+    # user-facing trade the knob documents)
+    denom = float(jnp.max(jnp.abs(ref))) + 1e-6
+    err = float(jnp.max(jnp.abs(q - ref))) / denom
+    assert err < 0.15, err
+    # the ENCODER never quantizes: identical under the global flag
+    m1, lv1 = vae.apply(v, x, method=vae.encode)
+    qconv.set_use_int8_decode(False)
+    m0, lv0 = vae.apply(v, x, method=vae.encode)
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(m0), atol=1e-6)
