@@ -431,10 +431,11 @@ class _ConvParams(nn.Module):
 
 
 class Upsample(nn.Module):
-    """nearest-2x + 3x3 conv, dispatched through ``ops.upsample`` (subpixel
-    rewrite by default: 2.25x fewer FLOPs, no 4x-materialized intermediate)."""
+    """nearest-2x + 3x3 conv, dispatched through ``ops.upsample``
+    (subpixel rewrite / int8 behind global knobs; plain conv default)."""
 
     channels: int
+    allow_int8: bool = False  # VAE decoder sites only
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
 
@@ -445,5 +446,6 @@ class Upsample(nn.Module):
         c = x.shape[-1]
         kernel, bias = _ConvParams((3, 3, c, self.channels), self.param_dtype, name="conv")()
         return upsample2x_conv3x3(
-            x.astype(self.dtype), kernel.astype(self.dtype), bias.astype(self.dtype)
+            x.astype(self.dtype), kernel.astype(self.dtype),
+            bias.astype(self.dtype), allow_int8=self.allow_int8,
         )

@@ -127,7 +127,10 @@ class Decoder(nn.Module):
             for i in range(cfg.layers_per_block + 1):
                 h = resnet(ch, f"up_{level}_resnet_{i}")(h)
             if level < len(channels) - 1:
-                h = Upsample(ch, dtype=dt, param_dtype=pdt, name=f"up_{level}_upsample")(h)
+                h = Upsample(
+                    ch, allow_int8=cfg.decoder_allow_int8, dtype=dt,
+                    param_dtype=pdt, name=f"up_{level}_upsample",
+                )(h)
         h = GroupNorm(cfg.norm_groups, eps=1e-6, act="silu", param_dtype=pdt, name="conv_norm_out")(h)
         return nn.Conv(
             cfg.in_channels, (3, 3), padding=((1, 1), (1, 1)),

@@ -69,17 +69,21 @@ def _subpixel_kernel(kernel: jnp.ndarray) -> jnp.ndarray:
 
 
 def upsample2x_conv3x3(
-    x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray | None = None
+    x: jnp.ndarray,
+    kernel: jnp.ndarray,
+    bias: jnp.ndarray | None = None,
+    allow_int8: bool = False,
 ) -> jnp.ndarray:
     """nearest-2x upsample then 3x3 same-pad conv; x (B,H,W,C),
     kernel (3,3,C,O) HWIO, bias (O,). Dispatches to the subpixel rewrite
-    unless disabled via ``set_use_subpixel(False)``."""
+    unless disabled via ``set_use_subpixel(False)``; the naive path may
+    run dynamic-int8 (``ops.qconv``, VAE decoder sites only)."""
     if not _USE_SUBPIXEL:
-        y = lax.conv_general_dilated(
-            nearest_upsample_2x(x), kernel, (1, 1), ((1, 1), (1, 1)),
-            dimension_numbers=_DN,
+        from .qconv import decoder_conv2d
+
+        return decoder_conv2d(
+            nearest_upsample_2x(x), kernel, bias, allow_int8=allow_int8
         )
-        return y if bias is None else y + bias.astype(y.dtype)
 
     b, h, w, c = x.shape
     o = kernel.shape[-1]
