@@ -1,6 +1,6 @@
 #!/usr/bin/env bash
-# DreamBooth PSO for the 'dog' DreamBooth subject — hyperparameter
-# parity with reference personalization/scripts/pso_dog.sh
+# DreamBooth PSO for the 'poop_emoji' DreamBooth subject — hyperparameter
+# parity with reference personalization/scripts/pso_poop_emoji.sh
 # (512^2, bs1, ga4, lr 2e-4 constant, 1600 steps, r=16, pso_db beta=5,
 # 20 negatives, prior weight 0.5, EDM-style Euler; gamma_pso and
 # neg_generate_freq are reference-inert parity knobs).
@@ -8,16 +8,16 @@ set -euo pipefail
 
 DATASET_ROOT="${DATASET_ROOT:?path to the dreambooth dataset root}"
 MODEL_DIR="${MODEL_DIR:-}"
-OUTPUT_DIR="${OUTPUT_DIR:-./output/dog}"
+OUTPUT_DIR="${OUTPUT_DIR:-./output/poop_emoji}"
 
 python -m pairwise_sample_optimization_tpu.cli.train_pso_sdxl_turbo_dreambooth \
   --pretrained_model_dir="${MODEL_DIR}" \
-  --instance_data_dir="${DATASET_ROOT}/dog" \
+  --instance_data_dir="${DATASET_ROOT}/poop_emoji" \
   --output_dir="${OUTPUT_DIR}" \
-  --instance_prompt="a prt dog" \
-  --class_prompt="a dog" \
-  --class_name="dog" \
-  --unique_token="prt" \
+  --instance_prompt="a [V] toy" \
+  --class_prompt="a toy" \
+  --class_name="toy" \
+  --unique_token="[V]" \
   --resolution=512 \
   --train_batch_size=1 \
   --gradient_accumulation_steps=4 \
@@ -36,4 +36,5 @@ python -m pairwise_sample_optimization_tpu.cli.train_pso_sdxl_turbo_dreambooth \
   --prior_loss_weight=0.5 \
   --distill_train_timesteps=4 \
   --neg_generate_freq=1000 \
+  --is_object \
   "$@"
