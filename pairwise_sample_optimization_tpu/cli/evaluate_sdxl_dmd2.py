@@ -40,6 +40,12 @@ def parse_args(argv=None):
     p.add_argument("--lora_rank", type=int, default=16)
     p.add_argument("--bpe_path", default=os.environ.get("PSO_BPE_PATH", ""))
     p.add_argument("--prompts_json", default="", help="eval prompt list json")
+    p.add_argument("--hf_dataset", default="",
+                   help="HF datasets source: hub name (reference "
+                        "yuvalkirstain/pickapic_v1_no_images; needs network) "
+                        "or a local save_to_disk dir")
+    p.add_argument("--split", default="test_unique")
+    p.add_argument("--caption_column", default="caption")
     p.add_argument("--max_prompts", type=int, default=0, help="0 = all")
     p.add_argument("--resolution", type=int, default=1024)
     p.add_argument("--num_steps", type=int, default=4)
@@ -67,7 +73,12 @@ def main(argv=None):
     enable_compilation_cache()
 
     # ---- prompts, sharded round-robin with pad math (ref :216-224) ----
-    dataset = PromptDataset(args.prompts_json)
+    dataset = PromptDataset(
+        args.prompts_json or None,
+        caption_key=args.caption_column,
+        split=args.split if args.hf_dataset else None,
+        hf_dataset=args.hf_dataset or None,
+    )
     prompts = dataset.prompts
     if args.max_prompts:
         prompts = prompts[: args.max_prompts]

@@ -258,10 +258,20 @@ def run_online_pso(config, sampler: str, num_epochs: Optional[int] = None):
         vision_config=CLIPVisionConfig.tiny() if tiny else CLIPVisionConfig.vit_h14(dtype=dtype),
         **sc_kwargs,
     )
-    val_dataset = PromptDataset(
-        config.val_dataset if os.path.exists(str(config.val_dataset)) else None,
-        split=config.get("val_split_name", None),
-    )
+    # val_dataset resolution order: a local prompts-JSON path, a HF
+    # datasets source ("hf:<name-or-save_to_disk-dir>", the reference's
+    # yuvalkirstain/pickapic_v1_no_images — hub names need network),
+    # else the builtin prompt set
+    val_src = str(config.val_dataset)
+    if val_src.startswith("hf:"):
+        val_dataset = PromptDataset(
+            hf_dataset=val_src[3:], split=config.get("val_split_name", None)
+        )
+    else:
+        val_dataset = PromptDataset(
+            val_src if os.path.exists(val_src) else None,
+            split=config.get("val_split_name", None),
+        )
     val_prompts = val_dataset.prompts[: config.val_max_prompts]
 
     def _policy_variables(trainable):

@@ -41,17 +41,45 @@ _BUILTIN_PROMPTS = [
 ]
 
 
+def _load_hf_prompts(source: str, split: Optional[str], caption_key: str):
+    """Load prompts via HF ``datasets``: ``load_from_disk`` for a local
+    export directory, ``load_dataset(name, split=...)`` otherwise."""
+    import datasets as hf_datasets
+
+    if os.path.isdir(source):
+        ds = hf_datasets.load_from_disk(source)
+        if not isinstance(ds, hf_datasets.Dataset):
+            if split is None or split not in ds:
+                raise KeyError(
+                    f"{source} holds splits {list(ds)}; requested {split!r}"
+                )
+            ds = ds[split]
+    else:
+        ds = hf_datasets.load_dataset(source, split=split or "test_unique")
+    return [str(x) for x in ds[caption_key]]
+
+
 class PromptDataset:
     def __init__(
         self,
         json_path: Optional[str] = None,
         caption_key: str = "caption",
         split: Optional[str] = None,
+        hf_dataset: Optional[str] = None,
     ):
         """``split`` selects a named split when the JSON is a dict of
         splits (the PickaPic ``test_unique`` export layout, reference
-        ``split=config.val_split_name``); ignored for plain lists."""
-        if json_path and os.path.exists(json_path):
+        ``split=config.val_split_name``); ignored for plain lists.
+
+        ``hf_dataset``: a HuggingFace ``datasets`` source — either a hub
+        name (the reference's ``yuvalkirstain/pickapic_v1_no_images``
+        with ``split='test_unique'``, ``train_online_pso_sdxl_turbo.py
+        :461-466``) or a local ``save_to_disk`` directory; requires
+        network for hub names (this environment has none — pass a
+        local export)."""
+        if hf_dataset:
+            self.prompts = _load_hf_prompts(hf_dataset, split, caption_key)
+        elif json_path and os.path.exists(json_path):
             with open(json_path) as f:
                 meta = json.load(f)
             if isinstance(meta, dict):

@@ -166,6 +166,28 @@ class TestPromptData:
         ds = PromptDataset(str(p))
         assert len(ds) == 2 and ds[1] == "b"
 
+    def test_hf_dataset_local_export(self, tmp_path):
+        """PickaPic via HF ``datasets``: a local save_to_disk export loads
+        through the same path that would fetch
+        yuvalkirstain/pickapic_v1_no_images from the hub (no network
+        here). Covers both a bare Dataset and a DatasetDict with the
+        reference's test_unique split."""
+        hf = pytest.importorskip("datasets")
+
+        d1 = tmp_path / "flat"
+        hf.Dataset.from_dict({"caption": ["x", "y", "z"]}).save_to_disk(str(d1))
+        ds = PromptDataset(hf_dataset=str(d1))
+        assert ds.prompts == ["x", "y", "z"]
+
+        d2 = tmp_path / "dict"
+        hf.DatasetDict(
+            {"test_unique": hf.Dataset.from_dict({"caption": ["p", "q"]})}
+        ).save_to_disk(str(d2))
+        ds = PromptDataset(hf_dataset=str(d2), split="test_unique")
+        assert ds.prompts == ["p", "q"]
+        with pytest.raises(KeyError):
+            PromptDataset(hf_dataset=str(d2), split="nope")
+
     def test_loader_batching(self):
         tok = CLIPTokenizer(merges=TINY_MERGES[1:], context_length=16)
         ds = PromptDataset()
