@@ -44,6 +44,10 @@ def main():
     from pairwise_sample_optimization_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
+    if os.environ.get("PSO_INT8_DECODE") == "1":
+        from pairwise_sample_optimization_tpu.ops.qconv import set_use_int8_decode
+
+        set_use_int8_decode(True)
     if SAMPLER == "dmd":
         # mirror configs/sdxl_dmd_dpo.py: the 1024^2 config keeps the
         # tiled GN + subpixel decode on (BENCHMARKS.md)
