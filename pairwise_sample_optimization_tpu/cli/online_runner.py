@@ -26,7 +26,13 @@ from ..checkpoints import (
 from ..checkpoints.orbax_io import prune_checkpoints
 from ..data import CLIPTokenizer, HashTokenizer, PromptDataset, PromptLoader
 from ..models.clip import CLIPTextConfig, CLIPVisionConfig
-from ..parallel.mesh import MeshSpec, make_mesh
+from ..parallel.mesh import (
+    MeshSpec,
+    fetch_replicated,
+    make_mesh,
+    replicate,
+    shard_global_batch,
+)
 from ..pipeline import SDXLPipeline
 from ..rewards import CLIPScorer, PickScoreScorer
 from ..train import (
@@ -59,8 +65,18 @@ def build_tokenizers(config, vocab_size: int = 49408):
     )
 
 
-def run_online_pso(config, sampler: str, num_epochs: Optional[int] = None):
-    """Returns the final (state, metrics_history) — importable for tests."""
+def run_online_pso(
+    config,
+    sampler: str,
+    num_epochs: Optional[int] = None,
+    debug_out: Optional[dict] = None,
+):
+    """Returns the final (state, metrics_history) — importable for tests.
+
+    ``debug_out``: optional dict the runner fills with mesh/sharding
+    introspection (used by ``__graft_entry__.dryrun_multichip`` and the
+    mesh tests to assert the CLI path really shards onto the mesh).
+    """
     from ..parallel.multihost import maybe_initialize_distributed
     from ..utils.cache import enable_compilation_cache
 
@@ -230,7 +246,27 @@ def run_online_pso(config, sampler: str, num_epochs: Optional[int] = None):
         decode_fn=decode_fn,
         reward_fn=reward_fn,
         latent_hw=pipe.latent_hw,
+        mesh=mesh,
     )
+
+    # ---- place weights on the mesh ----
+    # The reference gets multi-device for free from ``accelerate launch``
+    # (DDP replicas, ``train_online_pso_sdxl_turbo.py:228-233``); the
+    # TPU-native equivalent is explicit: frozen weight suites replicated
+    # (or FSDP-sharded under ``mesh.fsdp``) over the mesh, batches sharded
+    # over ``data`` below — XLA then inserts the ICI collectives.
+    use_fsdp = bool(config.mesh.get("fsdp", False))
+    if use_fsdp:
+        from ..parallel.fsdp import shard_params_fsdp
+
+        place_frozen = lambda tree: shard_params_fsdp(tree, mesh)
+    else:
+        place_frozen = lambda tree: replicate(mesh, tree)
+    pipe.unet_variables["params"] = place_frozen(pipe.unet_variables["params"])
+    pipe.vae_variables = place_frozen(pipe.vae_variables)
+    scorer.variables = place_frozen(scorer.variables)
+    if not full_ft:
+        pipe.unet_variables["lora"] = replicate(mesh, pipe.unet_variables["lora"])
     aux_vars = {"vae": pipe.vae_variables, "scorer": scorer.variables}
 
     # ---- state / resume ----
@@ -245,6 +281,9 @@ def run_online_pso(config, sampler: str, num_epochs: Optional[int] = None):
                 ckpt, jax.eval_shape(lambda: state), {"epoch": 0}
             )
             logger.info("resumed from %s (step %d)", ckpt, int(state.step))
+    # trainable + optimizer state replicated (the DDP-equivalent part);
+    # grad reduction over ``data`` comes from the sharded update batches
+    state = replicate(mesh, state)
 
     encode = jax.jit(pipe.encode_prompt)
     text_feats = jax.jit(scorer._text_features_impl)
@@ -355,15 +394,31 @@ def run_online_pso(config, sampler: str, num_epochs: Optional[int] = None):
         with timer.phase("sample"):
             for b_idx, batch in enumerate(loader.epoch()):
                 variables = _policy_variables(state.lora)
-                cond = encode(
-                    jnp.asarray(batch["input_ids_one"]),
-                    jnp.asarray(batch["input_ids_two"]),
+                # per-host prompt shards -> one global batch, sharded over
+                # the ``data`` mesh axis (everything downstream — sampling,
+                # decode, reward — then runs SPMD over the mesh)
+                ids = shard_global_batch(
+                    mesh,
+                    {
+                        "one": np.asarray(batch["input_ids_one"]),
+                        "two": np.asarray(batch["input_ids_two"]),
+                        "reward": np.asarray(batch["reward_input_ids"]),
+                    },
                 )
-                rc = {"text_features": text_feats(jnp.asarray(batch["reward_input_ids"]))}
+                cond = encode(ids["one"], ids["two"])
+                rc = {"text_features": text_feats(ids["reward"])}
                 samples, _images = trainer.sample_pairs(
                     variables, cond, rc, jax.random.fold_in(ekey, b_idx),
                     aux_variables=aux_vars,
                 )
+                if debug_out is not None and epoch == 0 and b_idx == 0:
+                    debug_out["mesh"] = mesh
+                    debug_out["fsdp"] = use_fsdp
+                    debug_out["ids_sharding"] = ids["one"].sharding
+                    debug_out["params_shardings"] = jax.tree.map(
+                        lambda x: x.sharding, pipe.unet_variables["params"]
+                    )
+                    debug_out["samples_sharding"] = samples["log_probs"].sharding
                 all_samples.append(samples)
                 all_cond.append(cond)
                 logger.info(
@@ -378,10 +433,10 @@ def run_online_pso(config, sampler: str, num_epochs: Optional[int] = None):
         cond = jax.tree.map(lambda *xs: jnp.concatenate(xs, 0), *all_cond)
 
         # cross-process reward stats (reference gathers rewards over ranks
-        # before logging, ``train_online_pso_sdxl_turbo.py:679-687``)
-        from ..parallel.collectives import process_allgather
-
-        rewards = process_allgather(np.asarray(samples["rewards"]))
+        # before logging, ``train_online_pso_sdxl_turbo.py:679-687``).
+        # The batch is globally assembled over the mesh, so replicating it
+        # IS the gather (multi-host: an ICI all-gather via jit identity).
+        rewards = fetch_replicated(mesh, samples["rewards"])
         metrics_logger.log_metrics(
             {
                 "epoch": epoch,

@@ -56,6 +56,11 @@ def get_config():
     config.mesh = mesh = ml_collections.ConfigDict()
     mesh.data = -1  # -1: all devices
     mesh.model = 1
+    # ZeRO-3-style sharding of the frozen weight suite (UNet params, VAE,
+    # scorer towers) over the data axis; trainable LoRA + optimizer state
+    # stay replicated (parallel/fsdp.py). Frees ~weights/(mesh size) HBM
+    # per chip; GSPMD inserts the per-layer all-gathers over ICI.
+    mesh.fsdp = False
 
     # ---- sampling ----
     config.sample = sample = ml_collections.ConfigDict()

@@ -72,3 +72,53 @@ def shard_batch(mesh: Mesh, tree):
 def replicate(mesh: Mesh, tree):
     sharding = replicated_sharding(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def shard_global_batch(mesh: Mesh, tree, axis: int = 0):
+    """Place a per-host batch pytree with batch ``axis`` sharded over ``data``.
+
+    The multi-host form of ``shard_batch``: each process contributes its
+    host-local rows and the result is one global array whose batch
+    dimension is the concatenation over processes (the TPU-native
+    equivalent of the reference's per-rank DataLoader shards under DDP,
+    ``train_online_pso_sdxl_turbo.py:491-493``). Single-process it is a
+    plain ``device_put``. Leaves whose batch dim does not divide the
+    ``data`` axis size are replicated instead (correct, just not
+    parallel — tiny smoke configs hit this).
+    """
+    n = mesh.shape[DATA_AXIS]
+    multi = jax.process_count() > 1
+
+    def place(x):
+        is_global = (
+            multi and isinstance(x, jax.Array) and not x.is_fully_addressable
+        )
+        # global batch size: host-local inputs concatenate over processes
+        b = 0 if np.ndim(x) <= axis else np.shape(x)[axis] * (
+            1 if (is_global or not multi) else jax.process_count()
+        )
+        spec = P() if (not b or b % n) else P(*([None] * axis), DATA_AXIS)
+        sharding = NamedSharding(mesh, spec)
+        if is_global:
+            # e.g. a train_epoch slice of globally assembled samples:
+            # reshard via a jitted identity (device_put can't cross hosts)
+            return jax.jit(lambda a: a, out_shardings=sharding)(x)
+        if multi:
+            from jax.experimental import multihost_utils
+
+            return multihost_utils.host_local_array_to_global_array(
+                np.asarray(x), mesh, spec
+            )
+        return jax.device_put(x, sharding)
+
+    return jax.tree.map(place, tree)
+
+
+def fetch_replicated(mesh: Mesh, x) -> np.ndarray:
+    """Fetch a (possibly data-sharded, possibly multi-host-global) array as
+    a full numpy copy on every host. Replicates via a jitted identity (a
+    mesh all-gather over ICI) so multi-host shards become addressable."""
+    if jax.process_count() == 1:
+        return np.asarray(x)
+    rep = jax.jit(lambda a: a, out_shardings=replicated_sharding(mesh))(x)
+    return np.asarray(rep)

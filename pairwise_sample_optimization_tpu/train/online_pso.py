@@ -106,6 +106,7 @@ class OnlinePSOTrainer:
         latent_hw: int = 64,
         latent_channels: int = 4,
         donate: bool = True,
+        mesh=None,
     ):
         self.config = config
         self.unet_apply = unet_apply
@@ -114,6 +115,12 @@ class OnlinePSOTrainer:
         self.reward_fn = reward_fn
         self.latent_hw = latent_hw
         self.latent_channels = latent_channels
+        # jax.sharding.Mesh for data-parallel update batches: when set,
+        # train_epoch places each (grad_accum, train_bs, ...) slice with
+        # the per-device batch axis sharded over ``data`` so the jitted
+        # update runs SPMD and XLA psums the grads (the DDP-allreduce
+        # equivalent, reference ``train_online_pso_sdxl_turbo.py:857``)
+        self.mesh = mesh
 
         if config.sampler == "turbo":
             self.schedule = make_euler_ancestral_schedule(config.num_steps)
@@ -392,12 +399,18 @@ class OnlinePSOTrainer:
             shuffled, cond_sh = self.shuffle(samples, cond, k_shuf)
 
             def slice_update(tree, u):
-                return jax.tree.map(
+                sliced = jax.tree.map(
                     lambda x: x[u * per_update : (u + 1) * per_update].reshape(
                         (cfg.grad_accum, cfg.train_batch_size) + x.shape[1:]
                     ),
                     tree,
                 )
+                if self.mesh is not None:
+                    # axis 0 is grad-accum (scanned), axis 1 the device batch
+                    from ..parallel.mesh import shard_global_batch
+
+                    sliced = shard_global_batch(self.mesh, sliced, axis=1)
+                return sliced
 
             for u in range(n_updates):
                 state, m = self._update(

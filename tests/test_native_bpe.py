@@ -81,7 +81,12 @@ def test_native_is_not_slower_uncached():
         tok.encode(text)
         return time.perf_counter() - t0
 
-    # min over rounds: single-core CI boxes are noisy under load
-    t_py = min(run(py, s) for s in range(3))
-    t_nat = min(run(nat, s + 100) for s in range(3))
-    assert t_nat < t_py * 1.2, (t_nat, t_py)
+    if os.getloadavg()[0] > 1.5:
+        pytest.skip("host under load — timing comparison meaningless")
+    # min over rounds: single-core CI boxes are noisy under load; rounds
+    # interleaved so a background load spike hits both tokenizers alike
+    t_py, t_nat = [], []
+    for s in range(5):
+        t_py.append(run(py, s))
+        t_nat.append(run(nat, s + 100))
+    assert min(t_nat) < min(t_py) * 1.2, (t_nat, t_py)
