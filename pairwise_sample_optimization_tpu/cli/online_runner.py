@@ -99,6 +99,9 @@ def run_online_pso(
     qconv_ops.set_use_int8_decode(
         bool(config.kernels.get("int8_vae_decode", False))
     )
+    from ..models.layers import set_gelu_exact
+
+    set_gelu_exact(bool(config.kernels.get("gelu_exact", False)))
 
     mesh = make_mesh(MeshSpec(config.mesh.data, config.mesh.model))
     logger.info("mesh: %s", mesh)

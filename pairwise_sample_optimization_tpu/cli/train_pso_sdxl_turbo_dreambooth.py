@@ -117,9 +117,12 @@ def parse_args(argv=None):
     p.add_argument("--lr_power", type=float, default=1.0)
     # prior preservation (reference :463-478,1155-1199)
     p.add_argument("--with_prior_preservation", action="store_true",
-                   help="use class images from --class_data_dir as the loser "
-                        "pool (pregenerated there if fewer than "
-                        "--num_class_images exist)")
+                   help="append class images from --class_data_dir "
+                        "(pregenerated there if fewer than "
+                        "--num_class_images exist) to the WINNER half with "
+                        "class-prompt conditioning (reference collate_fn "
+                        ":1015-1019); losers stay the step-0 self-generated "
+                        "negatives")
     p.add_argument("--class_data_dir", default="")
     p.add_argument("--num_class_images", type=int, default=100)
     p.add_argument("--sample_batch_size", type=int, default=4,
@@ -337,10 +340,25 @@ def main(argv=None):
             logger.info("generated %d/%d %s", min(len(out), n), n, note)
         return out[:n]
 
-    if args.with_prior_preservation and args.class_data_dir:
-        # loser pool = class images on disk, pregenerated up to
-        # --num_class_images (reference :1155-1199); batched generation
-        # honors --sample_batch_size via sequential singles on TPU
+    negs = generate_images(
+        args.num_negatives, jax.random.key(args.seed + 1), "negatives"
+    )
+    neg_px = jnp.asarray(np.stack(negs))
+    num_neg_pool = args.num_negatives
+    neg_mean, neg_logvar = encode_image(neg_px)
+
+    # ---- prior preservation: class images join the WINNER half ----
+    # (reference collate_fn appends class images + class prompt to the
+    # win half, ``:1015-1019``; the negatives above stay the losers for
+    # both halves — class photos are the preservation signal, so pushing
+    # the model AWAY from them would invert the feature)
+    use_prior = bool(args.with_prior_preservation and args.class_data_dir)
+    class_mean = class_logvar = None
+    num_class_pool = 0
+    if use_prior:
+        # class pool on disk, pregenerated up to --num_class_images
+        # (reference :1155-1199); batched generation honors
+        # --sample_batch_size
         os.makedirs(args.class_data_dir, exist_ok=True)
         existing = sorted(
             f for f in os.listdir(args.class_data_dir)
@@ -365,15 +383,9 @@ def main(argv=None):
         class_ds = DreamBoothDataset(
             args.class_data_dir, class_prompt, args.resolution
         )
-        neg_px = jnp.asarray(np.stack(class_ds.pixel_values))
-        num_neg_pool = len(class_ds)
-    else:
-        negs = generate_images(
-            args.num_negatives, jax.random.key(args.seed + 1), "negatives"
-        )
-        neg_px = jnp.asarray(np.stack(negs))
-        num_neg_pool = args.num_negatives
-    neg_mean, neg_logvar = encode_image(neg_px)
+        class_px = jnp.asarray(np.stack(class_ds.pixel_values))
+        num_class_pool = len(class_ds)
+        class_mean, class_logvar = encode_image(class_px)
 
     # ---- prompt encoding for the trainer ----
     def encode_with_te_lora(te_params, te_loras, ids1, ids2):
@@ -448,11 +460,25 @@ def main(argv=None):
     ga, b = args.gradient_accumulation_steps, args.train_batch_size
     ids1 = jnp.asarray(tok1([args.instance_prompt] * b))
     ids2 = jnp.asarray(tok2([args.instance_prompt] * b))
+    if use_prior:
+        # the win half doubles: [instance(b) | class(b)], class images
+        # conditioned on the class prompt (reference :1015-1019,1593-1596)
+        ids1 = jnp.concatenate([ids1, jnp.asarray(tok1([class_prompt] * b))], 0)
+        ids2 = jnp.concatenate([ids2, jnp.asarray(tok2([class_prompt] * b))], 0)
+    b_eff = int(ids1.shape[0])
     inst_cond = encode_text(ids1, ids2)
 
     def microbatched(x):
-        """(ga*b, ...) -> (ga, b, ...) when accumulating, else identity."""
-        return x.reshape((ga, b) + x.shape[1:]) if ga > 1 else x
+        """(ga*b_eff, ...) -> (ga, b_eff, ...) when accumulating, else identity."""
+        return x.reshape((ga, b_eff) + x.shape[1:]) if ga > 1 else x
+
+    def win_half(inst, cls):
+        """Per-microbatch winner half [instance(b) | class(b)] from two
+        (ga*b, ...) pools (mirrors the reference collate order)."""
+        inst = inst.reshape((ga, b) + inst.shape[1:])
+        cls = cls.reshape((ga, b) + cls.shape[1:])
+        out = jnp.concatenate([inst, cls], axis=1)
+        return out if ga > 1 else out[0]
 
     @jax.jit
     def draw_latents(mean, logvar, idx, key):
@@ -468,10 +494,23 @@ def main(argv=None):
     )
 
     def val_generate(prompt, key, n):
-        c = encode_text(
-            jnp.asarray(tok1([prompt] * n)), jnp.asarray(tok2([prompt] * n))
-        )
-        unet_lora = state.lora["unet"] if args.train_text_encoder else state.lora
+        i1 = jnp.asarray(tok1([prompt] * n))
+        i2 = jnp.asarray(tok2([prompt] * n))
+        if args.train_text_encoder:
+            # validation must see the TRAINED text encoders (the reference
+            # builds the validation pipeline from the live TEs,
+            # ``log_validation`` :157-293) — not the zero-init LoRA baked
+            # into the jitted encode_text
+            c = encode_with_te_lora(
+                train_params,
+                {"te1": state.lora["te1"], "te2": state.lora["te2"]},
+                i1,
+                i2,
+            )
+            unet_lora = state.lora["unet"]
+        else:
+            c = encode_text(i1, i2)
+            unet_lora = state.lora
         return pipe.generate(
             c, key, num_steps=4,
             unet_variables={"params": pipe.unet_variables["params"], "lora": unet_lora},
@@ -508,18 +547,29 @@ def main(argv=None):
 
     for step in range(start_step, total_steps):
         k = jax.random.fold_in(root, step)
-        ki, kn, ku = jax.random.split(k, 3)
+        ki, kn, ku, kc = jax.random.split(k, 4)
         n_draw = ga * b
         inst_idx = jnp.asarray(
             rng.choice(len(dataset), n_draw, replace=len(dataset) < n_draw)
         )
+        n_neg = ga * b_eff  # losers mirror the (possibly doubled) win half
         neg_idx = jnp.asarray(
-            rng.choice(num_neg_pool, n_draw, replace=num_neg_pool < n_draw)
+            rng.choice(num_neg_pool, n_neg, replace=num_neg_pool < n_neg)
         )
+        inst_lat = draw_latents(inst_mean, inst_logvar, inst_idx, ki)
+        if use_prior:
+            class_idx = jnp.asarray(
+                rng.choice(
+                    num_class_pool, n_draw, replace=num_class_pool < n_draw
+                )
+            )
+            win_lat = win_half(
+                inst_lat, draw_latents(class_mean, class_logvar, class_idx, kc)
+            )
+        else:
+            win_lat = microbatched(inst_lat)
         batch = {
-            "instance_latents": microbatched(
-                draw_latents(inst_mean, inst_logvar, inst_idx, ki)
-            ),
+            "instance_latents": win_lat,
             "negative_latents": microbatched(
                 draw_latents(neg_mean, neg_logvar, neg_idx, kn)
             ),

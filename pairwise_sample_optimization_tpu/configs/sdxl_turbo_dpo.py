@@ -116,6 +116,9 @@ def get_config():
     # dynamic-int8 VAE-decoder resnet convs (2x MXU rate): opt-in
     # throughput/accuracy trade for sampling-heavy runs; never the UNet
     kernels.int8_vae_decode = False
+    # force the exact erf GELU under bf16 compute (strict torch-parity
+    # runs; default tanh-under-bf16 is ~8% faster, models/layers.py)
+    kernels.gelu_exact = False
 
     # ---- data ----
     config.prompt_json = ""  # 4k_training_prompts.json-style list

@@ -27,6 +27,17 @@ from ..ops.group_norm import group_norm
 Dtype = jnp.dtype
 
 
+_GELU_FORCE_EXACT = False
+
+
+def set_gelu_exact(force: bool) -> None:
+    """Force the exact erf GELU everywhere regardless of compute dtype —
+    for strict scorer-parity runs against the torch reference (the
+    ``kernels.gelu_exact`` config knob / eval ``--gelu_exact`` flag)."""
+    global _GELU_FORCE_EXACT
+    _GELU_FORCE_EXACT = bool(force)
+
+
 def _gelu_approx(dtype) -> bool:
     """GELU flavor by compute dtype. The reference stack (torch F.gelu /
     HF ACT2FN['gelu']) is the exact erf form — used for fp32 compute so
@@ -35,7 +46,10 @@ def _gelu_approx(dtype) -> bool:
     difference 4.7e-4, within ~1 ulp of bf16 over the whole range, far
     below the bf16-vs-fp16 accumulation noise) and measures ~8% faster
     end-to-end on v5e (full-loop 2.05 vs 1.90 pairs/s — the erf chain is
-    expensive in the UNet FF backward; BENCHMARKS.md)."""
+    expensive in the UNet FF backward; BENCHMARKS.md). ``set_gelu_exact``
+    overrides to erf for strict parity runs."""
+    if _GELU_FORCE_EXACT:
+        return False
     return jnp.dtype(dtype) == jnp.bfloat16
 
 

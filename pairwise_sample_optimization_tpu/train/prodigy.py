@@ -74,6 +74,12 @@ def prodigy(
     def update_fn(grads, state, params=None):
         if params is None:
             raise ValueError("prodigy needs params (pass them to tx.update)")
+        if not decouple and weight_decay:
+            # prodigyopt's non-decoupled path folds L2 into the gradient
+            # BEFORE the moment updates (grad += wd * p)
+            grads = jax.tree.map(
+                lambda g, p: g + weight_decay * p.astype(g.dtype), grads, params
+            )
         k = state.step
         d = state.d
         if use_bias_correction:

@@ -316,6 +316,72 @@ def test_dreambooth_cli_prodigy_dora_kohya_prior(tmp_path):
     assert latest_checkpoint(str(tmp_path / "out")).endswith("-2")
 
 
+def test_dreambooth_prior_preservation_class_in_win_half(tmp_path, monkeypatch):
+    """Prior preservation must append class images to the WINNER half with
+    class-prompt conditioning (reference collate_fn :1015-1019) — losers
+    stay the step-0 self-generated negatives. (Round-2 advisor finding:
+    the old CLI used the class pool as losers, inverting preservation.)"""
+    from PIL import Image
+
+    from pairwise_sample_optimization_tpu.cli.train_pso_sdxl_turbo_dreambooth import (
+        main,
+    )
+    from pairwise_sample_optimization_tpu.train.dreambooth_pso import (
+        DreamBoothPSOTrainer,
+    )
+
+    d = tmp_path / "instance"
+    d.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(2):
+        Image.fromarray(
+            rng.integers(0, 255, (24, 24, 3), dtype=np.uint8)
+        ).save(d / f"{i}.png")
+
+    captured = {}
+    orig_update = DreamBoothPSOTrainer.update
+
+    def spy(self, state, params, batch, key):
+        import jax
+
+        captured.setdefault("batch", jax.tree.map(np.asarray, batch))
+        return orig_update(self, state, params, batch, key)
+
+    monkeypatch.setattr(DreamBoothPSOTrainer, "update", spy)
+    main(
+        [
+            "--tiny",
+            f"--instance_data_dir={d}",
+            "--instance_prompt=a photo of sks dog",
+            "--class_prompt=a photo of dog",
+            "--resolution=16",
+            "--train_batch_size=1",
+            "--gradient_accumulation_steps=1",
+            "--max_train_steps=1",
+            "--num_negatives=3",
+            "--with_prior_preservation",
+            f"--class_data_dir={tmp_path / 'class'}",
+            "--num_class_images=2",
+            "--rank=2",
+            "--checkpointing_steps=100",
+            "--skip_validation",
+            f"--output_dir={tmp_path / 'out'}",
+        ]
+    )
+    batch = captured["batch"]
+    # win half = [instance(1) | class(1)], losers mirror it (2 negatives)
+    assert batch["instance_latents"].shape[0] == 2
+    assert batch["negative_latents"].shape[0] == 2
+    # class row is conditioned on the CLASS prompt (differs from instance)
+    embeds = batch["cond"]["embeds"]
+    assert not np.allclose(embeds[0], embeds[1])
+    # the winner class latents are NOT drawn from the negatives pool
+    # (negatives are generated with a different key stream)
+    assert not np.allclose(
+        batch["instance_latents"][1], batch["negative_latents"][1]
+    )
+
+
 def test_dreambooth_cli_8bit_adam_and_te_weight_decay(tmp_path):
     from PIL import Image
 

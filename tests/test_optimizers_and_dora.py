@@ -59,6 +59,37 @@ def test_prodigy_knobs_run_and_decay_decouples():
         assert jnp.all(jnp.isfinite(up2["w"]))
 
 
+def test_prodigy_coupled_weight_decay_is_l2_on_grads():
+    """decouple=False folds wd*p into the gradient BEFORE the moment
+    updates (prodigyopt semantics) — it must not be silently dropped."""
+    from pairwise_sample_optimization_tpu.train.prodigy import prodigy
+
+    # asymmetric params: wd*p then changes the gradient DIRECTION (a pure
+    # rescale would cancel in prodigy's scale-invariant first steps)
+    params = {"w": jnp.asarray([2.0, -2.0, 0.5, -0.5])}
+    grads = {"w": jnp.ones((4,)) * 0.1}
+    wd = 0.5
+    tx_l2 = prodigy(weight_decay=wd, decouple=False)
+    tx_pre = prodigy(weight_decay=0.0)
+    pre_grads = {"w": grads["w"] + wd * params["w"]}
+
+    def two_steps(tx, g):
+        st = tx.init(params)
+        up1, st = tx.update(g, st, params)
+        p1 = {"w": params["w"] + up1["w"]}
+        up2, _ = tx.update(g, st, p1)
+        return up1["w"], up2["w"]
+
+    l2_1, l2_2 = two_steps(tx_l2, grads)
+    # manually pre-adding wd*p with wd=0 inside must match exactly
+    pre_1, pre_2 = two_steps(tx_pre, pre_grads)
+    np.testing.assert_allclose(np.asarray(l2_1), np.asarray(pre_1), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(l2_2), np.asarray(pre_2), rtol=1e-6)
+    # and it must differ from dropping the decay outright
+    none_1, _ = two_steps(tx_pre, grads)
+    assert not np.allclose(np.asarray(l2_1), np.asarray(none_1), atol=0)
+
+
 def test_prodigy_requires_params():
     from pairwise_sample_optimization_tpu.train.prodigy import prodigy
 
