@@ -4,6 +4,9 @@ from .torch_names import (
     vae_param_map,
     clip_text_param_map,
     clip_vision_param_map,
+    sequential_mlp_param_map,
+    blip_vit_param_map,
+    blip_bert_param_map,
 )
 from .convert import (
     torch_to_flax,
@@ -16,7 +19,12 @@ from .lora_safetensors import (
     export_kohya_lora_safetensors,
     import_lora_safetensors,
 )
-from .clip_loader import load_hf_clip_dual
+from .clip_loader import load_hf_clip_dual, openclip_to_hf_clip
+from .scorer_loaders import (
+    load_aesthetic_mlp,
+    load_clip_vision,
+    load_imagereward,
+)
 
 __all__ = [
     "save_train_state",
@@ -34,4 +42,11 @@ __all__ = [
     "export_kohya_lora_safetensors",
     "import_lora_safetensors",
     "load_hf_clip_dual",
+    "openclip_to_hf_clip",
+    "sequential_mlp_param_map",
+    "blip_vit_param_map",
+    "blip_bert_param_map",
+    "load_aesthetic_mlp",
+    "load_clip_vision",
+    "load_imagereward",
 ]

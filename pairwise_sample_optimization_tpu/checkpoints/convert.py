@@ -16,7 +16,25 @@ import numpy as np
 
 
 def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
-    """Read a .safetensors or torch .bin/.pt file into numpy arrays."""
+    """Read a .safetensors or torch .bin/.pt file into numpy arrays.
+
+    Accepts a directory (an HF snapshot dir): picks ``model.safetensors``
+    / ``pytorch_model.bin`` if present, else the first weight file."""
+    import os
+
+    if os.path.isdir(path):
+        names = sorted(os.listdir(path))
+        for preferred in ("model.safetensors", "pytorch_model.bin"):
+            if preferred in names:
+                path = os.path.join(path, preferred)
+                break
+        else:
+            cands = [
+                n for n in names if n.endswith((".safetensors", ".bin", ".pt"))
+            ]
+            if not cands:
+                raise FileNotFoundError(f"no weight files in {path}")
+            path = os.path.join(path, cands[0])
     if path.endswith(".safetensors"):
         from safetensors import safe_open
 
@@ -39,6 +57,10 @@ def _to_flax(arr: np.ndarray, kind: str) -> np.ndarray:
         return np.asarray(arr).T
     if kind == "conv":
         return np.transpose(np.asarray(arr), (2, 3, 1, 0))
+    if kind == "squeeze":
+        # leading singleton axes dropped (timm ``cls_token`` (1,1,W) ->
+        # (W,), ``pos_embed`` (1,S,W) -> (S,W))
+        return np.squeeze(np.asarray(arr))
     return np.asarray(arr)
 
 
@@ -48,6 +70,11 @@ def _to_torch(arr: np.ndarray, kind: str) -> np.ndarray:
         return np.ascontiguousarray(np.asarray(arr).T)
     if kind == "conv":
         return np.ascontiguousarray(np.transpose(np.asarray(arr), (3, 2, 0, 1)))
+    if kind == "squeeze":
+        raise NotImplementedError(
+            "squeeze-kind leaves are import-only (scorer backbones are "
+            "never exported back to torch)"
+        )
     return np.ascontiguousarray(np.asarray(arr))
 
 

@@ -160,6 +160,86 @@ def clip_text_param_map(path: Tuple[str, ...]) -> Tuple[str, Kind]:
     return head + "." + suffix, kind
 
 
+def sequential_mlp_param_map(path: Tuple[str, ...]) -> Tuple[str, Kind]:
+    """flax ``fc{i}`` (5-layer scorer MLP) -> torch ``nn.Sequential``
+    indices ``layers.{0,2,4,6,7}`` (Linear/Dropout interleave of the LAION
+    aesthetic predictor, reference ``aesthetic_scorer.py:13-29``, and of
+    ImageReward's identical head)."""
+    mod, leaf = path
+    m = re.fullmatch(r"fc(\d)", mod)
+    if not m:
+        raise KeyError(f"unexpected MLP module {mod!r}")
+    seq_idx = (0, 2, 4, 6, 7)[int(m.group(1))]
+    suffix, kind = _leaf(leaf, mod)
+    return f"layers.{seq_idx}.{suffix}", kind
+
+
+def blip_vit_param_map(path: Tuple[str, ...]) -> Tuple[str, Kind]:
+    """flax ``models.vit.ViT`` path -> BLIP/timm VisionTransformer key
+    (ImageReward's ``blip.visual_encoder``; timm layout:
+    ``patch_embed.proj / cls_token / pos_embed / blocks.{i}.(norm1,
+    attn.qkv, attn.proj, norm2, mlp.fc1, mlp.fc2) / norm``)."""
+    if path == ("class_embedding",):
+        return "cls_token", "squeeze"  # (1,1,W) -> (W,)
+    if path == ("position_embedding",):
+        return "pos_embed", "squeeze"  # (1,S,W) -> (S,W)
+    *mods, leaf = path
+    suffix, kind = _leaf(leaf, mods[-1])
+    if mods[0] == "patch_embedding":
+        return f"patch_embed.proj.{suffix}", kind
+    if mods[0] == "final_norm":
+        return f"norm.{suffix}", kind
+    m = re.fullmatch(r"block_(\d+)", mods[0])
+    if m:
+        inner = {
+            "norm1": "norm1",
+            "qkv": "attn.qkv",
+            "proj": "attn.proj",
+            "norm2": "norm2",
+            "fc1": "mlp.fc1",
+            "fc2": "mlp.fc2",
+        }[mods[1]]
+        return f"blocks.{m.group(1)}.{inner}.{suffix}", kind
+    raise KeyError(f"unknown ViT module {mods[0]!r}")
+
+
+def blip_bert_param_map(path: Tuple[str, ...]) -> Tuple[str, Kind]:
+    """flax ``models.bert.BertEncoder`` path -> BLIP "med" BertModel key
+    (HF BERT layout + per-layer ``crossattention``; ImageReward's
+    ``blip.text_encoder``). ``token_type_embeddings`` have no flax leaf:
+    text token-type ids are constant 0, so the loader folds row 0 into
+    ``position_embeddings`` before this map runs (exact — the embedding
+    sum is LayerNormed afterwards)."""
+    if path == ("position_embeddings",):
+        return "embeddings.position_embeddings.weight", "direct"
+    *mods, leaf = path
+    suffix, kind = _leaf(leaf, mods[-1])
+    if mods[0] == "word_embeddings":
+        return "embeddings.word_embeddings.weight", "direct"
+    if mods[0] == "embeddings_norm":
+        return f"embeddings.LayerNorm.{suffix}", kind
+    m = re.fullmatch(r"layer_(\d+)", mods[0])
+    if m:
+        head = f"encoder.layer.{m.group(1)}"
+        if mods[1] in ("attention", "crossattention"):
+            sub = {
+                "query": "self.query",
+                "key": "self.key",
+                "value": "self.value",
+                "output": "output.dense",
+            }[mods[2]]
+            return f"{head}.{mods[1]}.{sub}.{suffix}", kind
+        inner = {
+            "attn_norm": "attention.output.LayerNorm",
+            "cross_norm": "crossattention.output.LayerNorm",
+            "intermediate": "intermediate.dense",
+            "ffn_out": "output.dense",
+            "ffn_norm": "output.LayerNorm",
+        }[mods[1]]
+        return f"{head}.{inner}.{suffix}", kind
+    raise KeyError(f"unknown BERT module {mods[0]!r}")
+
+
 _CLIP_VISION = {
     "patch_embedding": "vision_model.embeddings.patch_embedding",
     "pre_norm": "vision_model.pre_layrnorm",  # (sic) HF key

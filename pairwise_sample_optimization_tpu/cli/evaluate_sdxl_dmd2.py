@@ -56,6 +56,23 @@ def parse_args(argv=None):
         default="pickscore,clip,aesthetic",
         help="comma list: pickscore,clip,aesthetic,imagereward,hps",
     )
+    # scorer weights (reference loads real models, :228-236; absent ->
+    # random towers, protocol smoke mode)
+    p.add_argument("--pickscore_dir", default="",
+                   help="HF CLIPModel dir/file (yuvalkirstain/PickScore_v1)")
+    p.add_argument("--clip_dir", default="",
+                   help="HF CLIPModel dir/file (laion CLIP-ViT-H-14)")
+    p.add_argument("--hps_path", default="",
+                   help="HPS_v2_compressed.pt (open_clip format, auto-detected)")
+    p.add_argument("--aesthetic_mlp_path", default="",
+                   help="sac+logos+ava1-l14-linearMSE.pth")
+    p.add_argument("--aesthetic_clip_dir", default="",
+                   help="HF CLIPModel dir/file (openai/clip-vit-large-patch14)")
+    p.add_argument("--imagereward_path", default="",
+                   help="ImageReward-v1.0 .pt checkpoint")
+    p.add_argument("--gelu_exact", action="store_true",
+                   help="force exact erf GELU under bf16 (strict scorer "
+                        "parity vs the torch reference)")
     p.add_argument("--output_json", default="")
     p.add_argument("--tiny", action="store_true", help="toy models (smoke/CI)")
     p.add_argument("--wordpiece_vocab", default="", help="bert vocab.txt for ImageReward")
@@ -129,6 +146,11 @@ def main(argv=None):
         tok2 = HashTokenizer(vocab_size=vs, pad_token_id=0)
         tok_r = HashTokenizer(vocab_size=vs)
 
+    if args.gelu_exact:
+        from ..models.layers import set_gelu_exact
+
+        set_gelu_exact(True)
+
     if args.tiny:
         sc_text, sc_vision = CLIPTextConfig.tiny(), CLIPVisionConfig.tiny()
         sc_kwargs = {}
@@ -137,24 +159,51 @@ def main(argv=None):
         sc_kwargs = {"fast_init": not args.model_dir, "param_dtype": jnp.bfloat16}
     wanted = set(args.scorers.split(","))
     scorers = {}
+
+    def _dual_scorer(cls, weight_path, name):
+        scorer = cls(text_config=sc_text, vision_config=sc_vision, **sc_kwargs)
+        if weight_path:
+            from ..checkpoints import load_hf_clip_dual
+
+            scorer.variables = load_hf_clip_dual(weight_path, scorer.variables)
+            logger.info("loaded %s weights from %s", name, weight_path)
+        return scorer
+
     if "pickscore" in wanted:
-        scorers["pickscore"] = PickScoreScorer(
-            text_config=sc_text, vision_config=sc_vision, **sc_kwargs
+        scorers["pickscore"] = _dual_scorer(
+            PickScoreScorer, args.pickscore_dir, "PickScore"
         )
     if "clip" in wanted:
-        scorers["clip"] = CLIPScorer(
-            text_config=sc_text, vision_config=sc_vision, **sc_kwargs
-        )
+        scorers["clip"] = _dual_scorer(CLIPScorer, args.clip_dir, "CLIP")
     if "hps" in wanted:
         from ..rewards import HPSScorer
 
-        scorers["hps"] = HPSScorer(
-            text_config=sc_text, vision_config=sc_vision, **sc_kwargs
-        )
+        # HPS_v2_compressed.pt is open_clip-format; load_hf_clip_dual
+        # auto-detects and converts (checkpoints/clip_loader.py)
+        scorers["hps"] = _dual_scorer(HPSScorer, args.hps_path, "HPSv2")
     if "aesthetic" in wanted:
-        scorers["aesthetic"] = AestheticScorer(
+        aes = AestheticScorer(
             vision_config=CLIPVisionConfig.tiny() if args.tiny else None
         )
+        if args.aesthetic_clip_dir:
+            from ..checkpoints import load_clip_vision
+
+            aes.vision_variables = load_clip_vision(
+                args.aesthetic_clip_dir, aes.vision_variables
+            )
+            logger.info(
+                "loaded aesthetic CLIP-L tower from %s", args.aesthetic_clip_dir
+            )
+        if args.aesthetic_mlp_path:
+            from ..checkpoints import load_aesthetic_mlp
+
+            aes.mlp_variables = load_aesthetic_mlp(
+                args.aesthetic_mlp_path, aes.mlp_variables
+            )
+            logger.info(
+                "loaded aesthetic MLP from %s", args.aesthetic_mlp_path
+            )
+        scorers["aesthetic"] = aes
     ir_tok = None
     if "imagereward" in wanted:
         from ..data.wordpiece import WordPieceTokenizer
@@ -172,7 +221,24 @@ def main(argv=None):
                 context_length=35,
             )
         elif args.wordpiece_vocab and os.path.exists(args.wordpiece_vocab):
-            scorers["imagereward"] = ImageRewardScorer(fast_init=not args.model_dir)
+            ir = ImageRewardScorer(
+                fast_init=not (args.model_dir or args.imagereward_path)
+            )
+            if args.imagereward_path:
+                from ..checkpoints import load_imagereward
+
+                ir.vit_variables, ir.bert_variables, ir.mlp_variables = (
+                    load_imagereward(
+                        args.imagereward_path,
+                        ir.vit_variables,
+                        ir.bert_variables,
+                        ir.mlp_variables,
+                    )
+                )
+                logger.info(
+                    "loaded ImageReward weights from %s", args.imagereward_path
+                )
+            scorers["imagereward"] = ir
             ir_tok = WordPieceTokenizer(args.wordpiece_vocab)
         else:
             logger.warning(

@@ -1,0 +1,474 @@
+"""Weight-port parity for the non-CLIP-HF scorer checkpoints.
+
+Round-2 verdict gap: the aesthetic MLP, HPS (open_clip-format) and
+ImageReward loaders did not exist. Each test synthesizes the torch module
+in the RELEASED checkpoint's layout (torch-cpu is installed), exports its
+state dict, loads it through the new port path, and compares forwards —
+the same cross-implementation anchoring as ``test_torch_parity.py``.
+"""
+
+import math
+from collections import OrderedDict
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+ATOL, RTOL = 3e-5, 2e-4
+
+
+def _np(x):
+    return np.asarray(x)
+
+
+# --------------------------------------------------------------------- #
+# LAION aesthetic MLP (sac+logos+ava1-l14-linearMSE.pth layout)
+# --------------------------------------------------------------------- #
+
+
+class _TorchAestheticMLP(torch.nn.Module):
+    """Reference ``aesthetic_scorer.py:13-29`` Sequential layout."""
+
+    def __init__(self, in_dim=768):
+        super().__init__()
+        self.layers = torch.nn.Sequential(
+            torch.nn.Linear(in_dim, 1024),
+            torch.nn.Dropout(0.2),
+            torch.nn.Linear(1024, 128),
+            torch.nn.Dropout(0.2),
+            torch.nn.Linear(128, 64),
+            torch.nn.Dropout(0.1),
+            torch.nn.Linear(64, 16),
+            torch.nn.Linear(16, 1),
+        )
+
+    def forward(self, x):
+        return self.layers(x)
+
+
+def test_aesthetic_mlp_port_matches_torch(tmp_path):
+    from pairwise_sample_optimization_tpu.checkpoints import load_aesthetic_mlp
+    from pairwise_sample_optimization_tpu.rewards.aesthetic import AestheticMLP
+
+    torch.manual_seed(0)
+    tmlp = _TorchAestheticMLP().eval()
+    x = np.random.default_rng(1).normal(size=(3, 768)).astype(np.float32)
+    with torch.no_grad():
+        want = tmlp(torch.from_numpy(x)).squeeze(1).numpy()
+
+    # round-trip through an actual .pth file (the released format: keys
+    # ``layers.{0,2,4,6,7}.*`` — the MLP module's state dict, reference
+    # ``aesthetic_scorer.py:38``)
+    path = str(tmp_path / "sac+logos+ava1-l14-linearMSE.pth")
+    torch.save(tmlp.state_dict(), path)
+
+    mlp = AestheticMLP()
+    abstract = mlp.init(jax.random.key(0), jnp.zeros((1, 768)))
+    variables = load_aesthetic_mlp(path, abstract)
+    got = mlp.apply(variables, jnp.asarray(x))
+    np.testing.assert_allclose(_np(got), want, atol=ATOL, rtol=RTOL)
+
+
+# --------------------------------------------------------------------- #
+# open_clip-format CLIP dict (HPS_v2_compressed.pt layout)
+# --------------------------------------------------------------------- #
+
+
+class _OCBlock(torch.nn.Module):
+    """open_clip ResidualAttentionBlock: nn.MultiheadAttention (fused
+    in_proj) + pre-LN MLP with c_fc/c_proj names (transformer.py:189-283)."""
+
+    def __init__(self, d, h):
+        super().__init__()
+        self.ln_1 = torch.nn.LayerNorm(d)
+        self.attn = torch.nn.MultiheadAttention(d, h, batch_first=True)
+        self.ln_2 = torch.nn.LayerNorm(d)
+        self.mlp = torch.nn.Sequential(
+            OrderedDict(
+                [
+                    ("c_fc", torch.nn.Linear(d, d * 4)),
+                    ("gelu", torch.nn.GELU()),
+                    ("c_proj", torch.nn.Linear(d * 4, d)),
+                ]
+            )
+        )
+
+    def forward(self, x, attn_mask=None):
+        h = self.ln_1(x)
+        a, _ = self.attn(h, h, h, need_weights=False, attn_mask=attn_mask)
+        x = x + a
+        return x + self.mlp(self.ln_2(x))
+
+
+class _OCVisual(torch.nn.Module):
+    """open_clip VisionTransformer key layout (transformer.py:323-418)."""
+
+    def __init__(self, d, h, layers, image_size, patch, out_dim):
+        super().__init__()
+        scale = d**-0.5
+        n = (image_size // patch) ** 2
+        self.conv1 = torch.nn.Conv2d(3, d, patch, stride=patch, bias=False)
+        self.class_embedding = torch.nn.Parameter(scale * torch.randn(d))
+        self.positional_embedding = torch.nn.Parameter(
+            scale * torch.randn(n + 1, d)
+        )
+        self.ln_pre = torch.nn.LayerNorm(d)
+        self.transformer = torch.nn.Module()
+        self.transformer.resblocks = torch.nn.ModuleList(
+            [_OCBlock(d, h) for _ in range(layers)]
+        )
+        self.ln_post = torch.nn.LayerNorm(d)
+        self.proj = torch.nn.Parameter(scale * torch.randn(d, out_dim))
+
+    def forward(self, px):
+        x = self.conv1(px).flatten(2).transpose(1, 2)  # (B, N, d)
+        cls = self.class_embedding[None, None].expand(x.shape[0], 1, -1)
+        x = torch.cat([cls, x], dim=1) + self.positional_embedding[None]
+        x = self.ln_pre(x)
+        for blk in self.transformer.resblocks:
+            x = blk(x)
+        return self.ln_post(x[:, 0]) @ self.proj
+
+
+class _OCCLIP(torch.nn.Module):
+    """Classic open_clip CLIP: visual.* + TOP-LEVEL text keys
+    (model.py:195-243)."""
+
+    def __init__(self, vocab, ctx, d, h, layers, image_size, patch, out_dim):
+        super().__init__()
+        self.visual = _OCVisual(d, h, layers, image_size, patch, out_dim)
+        self.token_embedding = torch.nn.Embedding(vocab, d)
+        self.positional_embedding = torch.nn.Parameter(
+            0.01 * torch.randn(ctx, d)
+        )
+        self.transformer = torch.nn.Module()
+        self.transformer.resblocks = torch.nn.ModuleList(
+            [_OCBlock(d, h) for _ in range(layers)]
+        )
+        self.ln_final = torch.nn.LayerNorm(d)
+        self.text_projection = torch.nn.Parameter(
+            d**-0.5 * torch.randn(d, out_dim)
+        )
+        self.logit_scale = torch.nn.Parameter(
+            torch.ones([]) * math.log(1 / 0.07)
+        )
+
+    def encode_text(self, ids):
+        s = ids.shape[1]
+        x = self.token_embedding(ids) + self.positional_embedding[None, :s]
+        mask = torch.full((s, s), float("-inf")).triu(1)
+        for blk in self.transformer.resblocks:
+            x = blk(x, attn_mask=mask)
+        x = self.ln_final(x)
+        pooled = x[torch.arange(x.shape[0]), ids.argmax(dim=-1)]
+        return pooled @ self.text_projection
+
+    def forward(self, px, ids):
+        img = self.visual(px)
+        txt = self.encode_text(ids)
+        img = img / img.norm(dim=-1, keepdim=True)
+        txt = txt / txt.norm(dim=-1, keepdim=True)
+        return (txt * img).sum(-1)
+
+
+def test_openclip_format_hps_load_matches_torch(tmp_path):
+    """HPS_v2-style checkpoint ({'state_dict': open_clip dict}) loads
+    through the auto-detecting ``load_hf_clip_dual`` and reproduces the
+    torch cosine score (reference ``hps_utils.py:64-71,95-101``)."""
+    from pairwise_sample_optimization_tpu.checkpoints import load_hf_clip_dual
+    from pairwise_sample_optimization_tpu.models.clip import (
+        CLIPDualEncoder,
+        CLIPTextConfig,
+        CLIPVisionConfig,
+    )
+
+    torch.manual_seed(2)
+    tm = _OCCLIP(
+        vocab=100, ctx=77, d=32, h=4, layers=2, image_size=28, patch=7,
+        out_dim=16,
+    ).eval()
+    rng = np.random.default_rng(3)
+    px = rng.normal(size=(2, 3, 28, 28)).astype(np.float32)
+    ids = np.array(
+        [[1, 5, 7, 99, 3, 2, 6, 8], [4, 12, 8, 9, 99, 11, 13, 10]], np.int64
+    )
+    with torch.no_grad():
+        want = tm(torch.from_numpy(px), torch.from_numpy(ids)).numpy()
+
+    # the released file wraps the dict under 'state_dict' (hps_utils:64-71)
+    path = str(tmp_path / "HPS_v2_compressed.pt")
+    torch.save({"state_dict": tm.state_dict()}, path)
+
+    dual = CLIPDualEncoder(
+        CLIPTextConfig(
+            vocab_size=100, width=32, layers=2, heads=4, act="gelu",
+            projection_dim=16, dtype=jnp.float32,
+        ),
+        CLIPVisionConfig(
+            image_size=28, patch_size=7, width=32, layers=2, heads=4,
+            act="gelu", projection_dim=16, dtype=jnp.float32,
+        ),
+    )
+    px_nhwc = jnp.asarray(np.transpose(px, (0, 2, 3, 1)))
+    ids_j = jnp.asarray(ids.astype(np.int32))
+    abstract = dual.init(jax.random.key(0), px_nhwc, ids_j)
+    variables = load_hf_clip_dual(path, abstract)
+    img_j, txt_j, scale = dual.apply(variables, px_nhwc, ids_j)
+    got = jnp.sum(txt_j * img_j, axis=-1)
+    np.testing.assert_allclose(_np(got), want, atol=2e-4, rtol=0.02)
+    np.testing.assert_allclose(float(scale), math.log(1 / 0.07), rtol=1e-6)
+
+
+# --------------------------------------------------------------------- #
+# ImageReward-v1.0 (blip.visual_encoder + blip.text_encoder + mlp)
+# --------------------------------------------------------------------- #
+
+
+class _TimmBlock(torch.nn.Module):
+    """timm/BLIP ViT block (vit.py): fused qkv, exact GELU, eps 1e-6."""
+
+    def __init__(self, d, h):
+        super().__init__()
+        self.norm1 = torch.nn.LayerNorm(d, eps=1e-6)
+        self.attn = torch.nn.Module()
+        self.attn.qkv = torch.nn.Linear(d, d * 3)
+        self.attn.proj = torch.nn.Linear(d, d)
+        self.heads = h
+        self.norm2 = torch.nn.LayerNorm(d, eps=1e-6)
+        self.mlp = torch.nn.Module()
+        self.mlp.fc1 = torch.nn.Linear(d, d * 4)
+        self.mlp.fc2 = torch.nn.Linear(d * 4, d)
+
+    def forward(self, x):
+        b, s, d = x.shape
+        hd = d // self.heads
+        qkv = (
+            self.attn.qkv(self.norm1(x))
+            .reshape(b, s, 3, self.heads, hd)
+            .permute(2, 0, 3, 1, 4)
+        )
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        a = torch.softmax(q @ k.transpose(-2, -1) * hd**-0.5, dim=-1) @ v
+        x = x + self.attn.proj(a.transpose(1, 2).reshape(b, s, d))
+        h = torch.nn.functional.gelu(self.mlp.fc1(self.norm2(x)))
+        return x + self.mlp.fc2(h)
+
+
+class _TimmViT(torch.nn.Module):
+    def __init__(self, d, h, layers, image_size, patch):
+        super().__init__()
+        n = (image_size // patch) ** 2
+        self.patch_embed = torch.nn.Module()
+        self.patch_embed.proj = torch.nn.Conv2d(3, d, patch, stride=patch)
+        self.cls_token = torch.nn.Parameter(0.02 * torch.randn(1, 1, d))
+        self.pos_embed = torch.nn.Parameter(0.02 * torch.randn(1, n + 1, d))
+        self.blocks = torch.nn.ModuleList(
+            [_TimmBlock(d, h) for _ in range(layers)]
+        )
+        self.norm = torch.nn.LayerNorm(d, eps=1e-6)
+
+    def forward(self, px):
+        x = self.patch_embed.proj(px).flatten(2).transpose(1, 2)
+        cls = self.cls_token.expand(x.shape[0], -1, -1)
+        x = torch.cat([cls, x], dim=1) + self.pos_embed
+        for blk in self.blocks:
+            x = blk(x)
+        return self.norm(x)
+
+
+class _BlipBertLayer(torch.nn.Module):
+    """HF-BERT layer layout + BLIP per-layer crossattention (med.py)."""
+
+    def __init__(self, d, h, inter, enc_width):
+        super().__init__()
+
+        def attn(kv_dim):
+            m = torch.nn.Module()
+            m.self = torch.nn.Module()
+            m.self.query = torch.nn.Linear(d, d)
+            m.self.key = torch.nn.Linear(kv_dim, d)
+            m.self.value = torch.nn.Linear(kv_dim, d)
+            m.output = torch.nn.Module()
+            m.output.dense = torch.nn.Linear(d, d)
+            m.output.LayerNorm = torch.nn.LayerNorm(d, eps=1e-12)
+            return m
+
+        self.attention = attn(d)
+        self.crossattention = attn(enc_width)
+        self.intermediate = torch.nn.Module()
+        self.intermediate.dense = torch.nn.Linear(d, inter)
+        self.output = torch.nn.Module()
+        self.output.dense = torch.nn.Linear(inter, d)
+        self.output.LayerNorm = torch.nn.LayerNorm(d, eps=1e-12)
+        self.heads = h
+
+    def _attend(self, m, x, kv, mask=None):
+        b, sq, d = x.shape
+        hd = d // self.heads
+        q = m.self.query(x).reshape(b, sq, self.heads, hd).transpose(1, 2)
+        k = m.self.key(kv).reshape(b, kv.shape[1], self.heads, hd).transpose(1, 2)
+        v = m.self.value(kv).reshape(b, kv.shape[1], self.heads, hd).transpose(1, 2)
+        logits = q @ k.transpose(-2, -1) * hd**-0.5
+        if mask is not None:
+            logits = logits + torch.where(
+                mask[:, None, None, :].bool(),
+                torch.zeros((), dtype=logits.dtype),
+                torch.full((), -1e30, dtype=logits.dtype),
+            )
+        a = torch.softmax(logits, dim=-1) @ v
+        h = m.output.dense(a.transpose(1, 2).reshape(b, sq, d))
+        return m.output.LayerNorm(x + h)
+
+    def forward(self, x, context, mask):
+        x = self._attend(self.attention, x, x, mask)
+        x = self._attend(self.crossattention, x, context, None)
+        h = torch.nn.functional.gelu(self.intermediate.dense(x))
+        return self.output.LayerNorm(x + self.output.dense(h))
+
+
+class _BlipBert(torch.nn.Module):
+    def __init__(self, vocab, d, h, layers, inter, max_pos, enc_width):
+        super().__init__()
+        self.embeddings = torch.nn.Module()
+        self.embeddings.word_embeddings = torch.nn.Embedding(vocab, d)
+        self.embeddings.position_embeddings = torch.nn.Embedding(max_pos, d)
+        self.embeddings.token_type_embeddings = torch.nn.Embedding(2, d)
+        self.embeddings.LayerNorm = torch.nn.LayerNorm(d, eps=1e-12)
+        self.encoder = torch.nn.Module()
+        self.encoder.layer = torch.nn.ModuleList(
+            [_BlipBertLayer(d, h, inter, enc_width) for _ in range(layers)]
+        )
+
+    def forward(self, ids, mask, context):
+        s = ids.shape[1]
+        pos = self.embeddings.position_embeddings.weight[None, :s]
+        tt = self.embeddings.token_type_embeddings.weight[0][None, None]
+        x = self.embeddings.word_embeddings(ids) + pos + tt
+        x = self.embeddings.LayerNorm(x)
+        for layer in self.encoder.layer:
+            x = layer(x, context, mask)
+        return x
+
+
+def test_imagereward_port_matches_torch(tmp_path):
+    """ImageReward-v1.0-layout checkpoint (blip.visual_encoder timm ViT +
+    blip.text_encoder med-BERT + mlp Sequential) ports through
+    ``load_imagereward`` with exact forward parity, including the
+    token-type-row folding."""
+    from pairwise_sample_optimization_tpu.checkpoints import load_imagereward
+    from pairwise_sample_optimization_tpu.models.bert import (
+        BertConfig,
+        BertEncoder,
+    )
+    from pairwise_sample_optimization_tpu.models.vit import ViT, ViTConfig
+    from pairwise_sample_optimization_tpu.rewards.imagereward import (
+        ImageRewardMLP,
+    )
+
+    torch.manual_seed(4)
+    d, h, layers = 32, 4, 2
+    tvit = _TimmViT(d, h, layers, image_size=32, patch=8).eval()
+    tbert = _BlipBert(
+        vocab=1000, d=d, h=h, layers=layers, inter=64, max_pos=64, enc_width=d
+    ).eval()
+    tmlp = _TorchAestheticMLP(in_dim=d).eval()
+
+    rng = np.random.default_rng(5)
+    px = rng.normal(size=(2, 3, 32, 32)).astype(np.float32)
+    ids = np.array([[2, 7, 9, 3, 0, 0], [2, 11, 4, 8, 6, 3]], np.int64)
+    mask = np.array([[1, 1, 1, 1, 0, 0], [1, 1, 1, 1, 1, 1]], np.int64)
+    with torch.no_grad():
+        img_tokens_t = tvit(torch.from_numpy(px))
+        txt_t = tbert(
+            torch.from_numpy(ids), torch.from_numpy(mask), img_tokens_t
+        )
+        want = tmlp(txt_t[:, 0]).squeeze(1).numpy()
+
+    sd = {}
+    for k, v in tvit.state_dict().items():
+        sd[f"blip.visual_encoder.{k}"] = v
+    for k, v in tbert.state_dict().items():
+        sd[f"blip.text_encoder.{k}"] = v
+    for k, v in tmlp.state_dict().items():
+        sd[f"mlp.{k}"] = v
+    path = str(tmp_path / "ImageReward-v1.0.pt")
+    torch.save(sd, path)
+
+    vcfg = ViTConfig.tiny()
+    bcfg = BertConfig.tiny(dtype=jnp.float32)
+    vit, bert, mlp = ViT(vcfg), BertEncoder(bcfg), ImageRewardMLP()
+    key = jax.random.key(0)
+    vit_abs = vit.init(key, jnp.zeros((1, 32, 32, 3)))
+    bert_abs = bert.init(
+        key,
+        jnp.zeros((1, 4), jnp.int32),
+        jnp.ones((1, 4), jnp.int32),
+        jnp.zeros((1, 17, d)),
+    )
+    mlp_abs = mlp.init(key, jnp.zeros((1, d)))
+    vit_v, bert_v, mlp_v = load_imagereward(path, vit_abs, bert_abs, mlp_abs)
+
+    px_nhwc = jnp.asarray(np.transpose(px, (0, 2, 3, 1)))
+    img_tokens = vit.apply(vit_v, px_nhwc)
+    np.testing.assert_allclose(
+        _np(img_tokens), img_tokens_t.numpy(), atol=ATOL, rtol=RTOL
+    )
+    txt = bert.apply(
+        bert_v, jnp.asarray(ids.astype(np.int32)), jnp.asarray(mask), img_tokens
+    )
+    np.testing.assert_allclose(_np(txt), txt_t.numpy(), atol=5e-5, rtol=RTOL)
+    got = mlp.apply(mlp_v, txt[:, 0])
+    np.testing.assert_allclose(_np(got), want, atol=5e-5, rtol=RTOL)
+
+
+def test_imagereward_scorer_accepts_ported_variables(tmp_path):
+    """End-to-end: ImageRewardScorer constructed from ported variables
+    scores images (standardization applied)."""
+    from pairwise_sample_optimization_tpu.models.bert import BertConfig
+    from pairwise_sample_optimization_tpu.models.vit import ViTConfig
+    from pairwise_sample_optimization_tpu.rewards.imagereward import (
+        ImageRewardScorer,
+    )
+
+    torch.manual_seed(6)
+    d, h, layers = 32, 4, 2
+    tvit = _TimmViT(d, h, layers, image_size=32, patch=8).eval()
+    tbert = _BlipBert(
+        vocab=1000, d=d, h=h, layers=layers, inter=64, max_pos=64, enc_width=d
+    ).eval()
+    tmlp = _TorchAestheticMLP(in_dim=d).eval()
+    sd = {}
+    for k, v in tvit.state_dict().items():
+        sd[f"blip.visual_encoder.{k}"] = v
+    for k, v in tbert.state_dict().items():
+        sd[f"blip.text_encoder.{k}"] = v
+    for k, v in tmlp.state_dict().items():
+        sd[f"mlp.{k}"] = v
+    sd = {k: v.numpy() for k, v in sd.items()}
+
+    from pairwise_sample_optimization_tpu.checkpoints import load_imagereward
+
+    scorer = ImageRewardScorer(
+        vit_config=ViTConfig.tiny(), bert_config=BertConfig.tiny()
+    )
+    vit_v, bert_v, mlp_v = load_imagereward(
+        sd, scorer.vit_variables, scorer.bert_variables, scorer.mlp_variables
+    )
+    scorer = ImageRewardScorer(
+        vit_variables=vit_v,
+        bert_variables=bert_v,
+        mlp_variables=mlp_v,
+        vit_config=ViTConfig.tiny(),
+        bert_config=BertConfig.tiny(),
+    )
+    images = jnp.asarray(
+        np.random.default_rng(7).uniform(-1, 1, (2, 32, 32, 3)), jnp.float32
+    )
+    ids = jnp.asarray([[2, 7, 9, 3], [2, 11, 4, 8]], jnp.int32)
+    mask = jnp.ones_like(ids)
+    s = scorer.score(images, ids, mask)
+    assert np.isfinite(_np(s)).all()
