@@ -70,6 +70,11 @@ def parse_args(argv=None):
                    help="HF CLIPModel dir/file (openai/clip-vit-large-patch14)")
     p.add_argument("--imagereward_path", default="",
                    help="ImageReward-v1.0 .pt checkpoint")
+    p.add_argument("--clip_resize_max_size", action="store_true",
+                   help="use open_clip's ResizeMaxSize (longest-side+pad) "
+                        "transform for the CLIP scorer — exact parity with "
+                        "the reference's light_augmentation eval transform "
+                        "on non-square inputs (clip_utils.py:18-37)")
     p.add_argument("--gelu_exact", action="store_true",
                    help="force exact erf GELU under bf16 (strict scorer "
                         "parity vs the torch reference)")
@@ -160,8 +165,10 @@ def main(argv=None):
     wanted = set(args.scorers.split(","))
     scorers = {}
 
-    def _dual_scorer(cls, weight_path, name):
-        scorer = cls(text_config=sc_text, vision_config=sc_vision, **sc_kwargs)
+    def _dual_scorer(cls, weight_path, name, **extra):
+        scorer = cls(
+            text_config=sc_text, vision_config=sc_vision, **sc_kwargs, **extra
+        )
         if weight_path:
             from ..checkpoints import load_hf_clip_dual
 
@@ -174,7 +181,10 @@ def main(argv=None):
             PickScoreScorer, args.pickscore_dir, "PickScore"
         )
     if "clip" in wanted:
-        scorers["clip"] = _dual_scorer(CLIPScorer, args.clip_dir, "CLIP")
+        scorers["clip"] = _dual_scorer(
+            CLIPScorer, args.clip_dir, "CLIP",
+            preprocess="max_size" if args.clip_resize_max_size else "resize",
+        )
     if "hps" in wanted:
         from ..rewards import HPSScorer
 

@@ -30,9 +30,17 @@ class PickScoreScorer:
         key: Optional[jax.Array] = None,
         fast_init: bool = False,
         param_dtype=None,
+        preprocess: str = "resize",
     ):
+        """``preprocess``: "resize" (square resize, the protocol's square
+        images make it identical) or "max_size" (open_clip ResizeMaxSize
+        longest-side+pad — exact transform parity for non-square inputs,
+        reference ``clip_utils.py:18-37``)."""
         import dataclasses as _dc
 
+        if preprocess not in ("resize", "max_size"):
+            raise ValueError(preprocess)
+        self.preprocess = preprocess
         self.text_config = text_config or CLIPTextConfig.vit_h14()
         self.vision_config = vision_config or CLIPVisionConfig.vit_h14()
         if param_dtype is not None:
@@ -67,7 +75,14 @@ class PickScoreScorer:
         return t / jnp.maximum(jnp.linalg.norm(t, axis=-1, keepdims=True), 1e-6)
 
     def _image_features_v(self, variables, images):
-        pixels = clip_preprocess(images, self.vision_config.image_size)
+        from .preprocess import clip_preprocess_max_size
+
+        pre = (
+            clip_preprocess_max_size
+            if self.preprocess == "max_size"
+            else clip_preprocess
+        )
+        pixels = pre(images, self.vision_config.image_size)
         f = self.model.apply(variables, pixels, method=self.model.image_features)
         return f / jnp.maximum(jnp.linalg.norm(f, axis=-1, keepdims=True), 1e-6)
 

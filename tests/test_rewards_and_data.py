@@ -41,6 +41,59 @@ class TestPreprocess:
         b = clip_preprocess(imgs, size=8, value_range=(-1.0, 1.0))  # mid-gray
         assert np.abs(np.asarray(a) - np.asarray(b)).max() > 0.1
 
+    def test_resize_max_size_square_equals_plain(self):
+        """Square inputs: ResizeMaxSize == plain square resize (the
+        protocol's generated images are square, so defaults are parity)."""
+        from pairwise_sample_optimization_tpu.rewards.preprocess import (
+            clip_preprocess_max_size,
+        )
+
+        imgs = jnp.asarray(
+            np.random.default_rng(0).uniform(-1, 1, (2, 32, 32, 3)), jnp.float32
+        )
+        a = clip_preprocess(imgs, size=16)
+        b = clip_preprocess_max_size(imgs, size=16)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+    def test_resize_max_size_nonsquare_pads(self):
+        """Non-square: longest side scaled to size, the rest center-padded
+        with black (open_clip ResizeMaxSize, clip_utils.py:18-37)."""
+        from pairwise_sample_optimization_tpu.rewards.preprocess import (
+            CLIP_MEAN,
+            CLIP_STD,
+            clip_preprocess_max_size,
+        )
+
+        # white 16x32 image in [-1,1] -> content rows stay white, pad black
+        imgs = jnp.ones((1, 16, 32, 3))
+        out = np.asarray(clip_preprocess_max_size(imgs, size=16))
+        assert out.shape == (1, 16, 16, 3)
+        black = (0.0 - np.array(CLIP_MEAN)) / np.array(CLIP_STD)
+        white = (1.0 - np.array(CLIP_MEAN)) / np.array(CLIP_STD)
+        # scaled content is 8 rows tall, centered: rows 0-3 and 12-15 pad
+        np.testing.assert_allclose(out[0, 0, 0], black, rtol=1e-5)
+        np.testing.assert_allclose(out[0, 15, 0], black, rtol=1e-5)
+        np.testing.assert_allclose(out[0, 8, 8], white, rtol=1e-4)
+
+    def test_scorer_max_size_option(self):
+        s = PickScoreScorer(
+            text_config=CLIPTextConfig.tiny(),
+            vision_config=CLIPVisionConfig.tiny(),
+            preprocess="max_size",
+        )
+        imgs = jnp.asarray(
+            np.random.default_rng(1).uniform(-1, 1, (2, 20, 28, 3)), jnp.float32
+        )
+        ids = jnp.asarray([[1, 5, 2, 0], [3, 9, 2, 0]], jnp.int32)
+        scores = s.score(imgs, ids)
+        assert np.isfinite(np.asarray(scores)).all()
+        # and it actually changes non-square scoring vs plain resize
+        s2 = PickScoreScorer(
+            text_config=CLIPTextConfig.tiny(),
+            vision_config=CLIPVisionConfig.tiny(),
+        )
+        assert not np.allclose(np.asarray(scores), np.asarray(s2.score(imgs, ids)))
+
 
 class TestScorers:
     def test_pickscore_tiny(self):
