@@ -211,7 +211,11 @@ def run_online_pso(
         num_steps=config.sample.num_steps,
         beta=config.train.beta,
         eps=config.train.eps,
-        train_batch_size=config.train.batch_size,
+        # train.batch_size is PER HOST (reference: per GPU). The sampled
+        # epoch is assembled globally over the mesh, so each update
+        # slices a global microbatch of per-host-bs x process_count —
+        # the DDP-equivalent global batch, grads psum'd by XLA.
+        train_batch_size=config.train.batch_size * jax.process_count(),
         grad_accum=config.train.gradient_accumulation_steps,
         num_inner_epochs=config.train.num_inner_epochs,
         compare="sample" if sampler == "turbo" else "pareto",
@@ -468,7 +472,9 @@ def run_online_pso(
                 with timer.phase("validation"):
                     run_validation(state, global_step)
 
-            if global_step % config.checkpointing_steps == 0 or global_step == 1:
+            if config.checkpointing_steps and (
+                global_step % config.checkpointing_steps == 0 or global_step == 1
+            ):
                 if jax.process_index() == 0:
                     path = save_train_state(out_dir, global_step, state, {"epoch": epoch})
                     if not full_ft:

@@ -40,6 +40,13 @@ def set_interpret(flag: bool) -> None:
     _INTERPRET = flag
 
 
+def _best_tile(n: int, cap: int) -> int:
+    size = min(cap, n)
+    while n % size:
+        size //= 2
+    return max(size, min(n, 128))
+
+
 def _block_sizes(sq: int, skv: int):
     """Largest tiles that divide the (padded) sequences, capped for VMEM.
 
@@ -47,14 +54,22 @@ def _block_sizes(sq: int, skv: int):
     36.8ms at the 256/128 defaults and 36.9ms for XLA's fused attention —
     bigger tiles amortize the per-grid-step overhead and keep the MXU fed.
     """
+    return _best_tile(sq, 1024), _best_tile(skv, 512)
 
-    def best(n: int, cap: int) -> int:
-        size = min(cap, n)
-        while n % size:
-            size //= 2
-        return max(size, min(n, 128))
 
-    return best(sq, 1024), best(skv, 512)
+# backward tile caps, tunable independently of the forward (the backward
+# holds more live tiles — q, k, v, do, p, ds — so its VMEM optimum
+# differs; swept on-chip at seq 4096, see BENCHMARKS.md)
+_BWD_CAPS = (1024, 512)
+
+
+def set_bwd_block_caps(bq_cap: int, bk_cap: int) -> None:
+    global _BWD_CAPS
+    _BWD_CAPS = (int(bq_cap), int(bk_cap))
+
+
+def _block_sizes_bwd(sq: int, skv: int):
+    return _best_tile(sq, _BWD_CAPS[0]), _best_tile(skv, _BWD_CAPS[1])
 
 
 # ---------------------------------------------------------------------- #
@@ -179,19 +194,25 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
     lse = lse_ref[0][0]  # (bq,)
     p = jnp.exp(s - lse[:, None])  # (bq, bk)
 
-    do = do_ref[0].astype(jnp.float32)
+    # matmul operands stay in the INPUT dtype (bf16 on chip): the v5e MXU
+    # is bf16-native — fp32xfp32 products run at a fraction of peak and
+    # were the dominant cost of the seq-4096 backward. Accumulation stays
+    # fp32 via preferred_element_type (standard flash-bwd practice; the
+    # forward already does p.astype(v.dtype)).
+    do = do_ref[0]
     dv_scr[...] = dv_scr[...] + jax.lax.dot_general(
-        p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )  # p^T @ do -> (bk, d)
 
-    v = v_ref[0].astype(jnp.float32)
+    v = v_ref[0]
     dp = jax.lax.dot_general(
         do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # (bq, bk)
     di = di_ref[0][0]  # (bq,)
     ds = p * (dp - di[:, None]) * scale
     dk_scr[...] = dk_scr[...] + jax.lax.dot_general(
-        ds, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
+        ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # ds^T @ q -> (bk, d)
 
@@ -221,15 +242,15 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
 
     lse = lse_ref[0][0]
     p = jnp.exp(s - lse[:, None])
-    do = do_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
+    do = do_ref[0]
+    v = v_ref[0]
     dp = jax.lax.dot_general(
         do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
     di = di_ref[0][0]
     ds = p * (dp - di[:, None]) * scale
     dq_scr[...] = dq_scr[...] + jax.lax.dot(
-        ds, k.astype(jnp.float32), preferred_element_type=jnp.float32
+        ds.astype(k.dtype), k, preferred_element_type=jnp.float32
     )
 
     @pl.when(ki == n_kv - 1)
@@ -241,7 +262,7 @@ def _bwd(scale, kv_len, residuals, do):
     q, k, v, o, lse = residuals
     bh, sq, d = q.shape
     skv = k.shape[1]
-    bq, bk = _block_sizes(sq, skv)
+    bq, bk = _block_sizes_bwd(sq, skv)
     n_q, n_kv = sq // bq, skv // bk
 
     di = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1)  # (BH,Sq)

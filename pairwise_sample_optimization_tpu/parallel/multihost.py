@@ -43,4 +43,14 @@ def maybe_initialize_distributed() -> bool:
             # standard JAX cluster envs (auto-detected on Cloud TPU pods)
             jax.distributed.initialize()
         _initialized = True
-    return jax.process_count() > 1
+    multi = jax.process_count() > 1
+    if multi:
+        # establish the host-collective (Gloo/DCN) context NOW, while all
+        # processes are still in lockstep at startup — the first host
+        # collective otherwise happens deep inside the run, after
+        # per-process compile phases that can drift ranks apart by more
+        # than the 30 s rendezvous window
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("pso:multihost:startup")
+    return multi

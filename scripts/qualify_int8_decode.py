@@ -1,0 +1,111 @@
+"""Image-level qualification of the dynamic-int8 VAE decode (512^2).
+
+Round-2 verdict item 5: the +12.6% headline from ``kernels.
+int8_vae_decode`` was defended only by per-conv error bands. This
+measures what actually matters to the online loop, on the real chip at
+full size:
+
+1. SNR/PSNR of the int8 decode vs the fp32-weight decode on the SAME
+   latents;
+2. the PickScore delta per image induced by int8 decode;
+3. the PAIR PREFERENCE FLIP RATE: of N (traj0, traj1) latent pairs,
+   how often does sign(s0 - s1) change when both images are decoded
+   int8? The online loop consumes the decode ONLY through this ranking.
+
+Random weights (no checkpoints in this environment): the decoder conv
+stack and scorer are architecture-true, and quantization error of convs
+does not depend on weight realism — noted in BENCHMARKS.md.
+
+Usage: python scripts/qualify_int8_decode.py [n_pairs]
+"""
+
+import json
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def main():
+    from pairwise_sample_optimization_tpu.models.clip import (
+        CLIPTextConfig,
+        CLIPVisionConfig,
+    )
+    from pairwise_sample_optimization_tpu.ops import qconv
+    from pairwise_sample_optimization_tpu.pipeline import SDXLPipeline
+    from pairwise_sample_optimization_tpu.rewards import PickScoreScorer
+    from pairwise_sample_optimization_tpu.utils.cache import (
+        enable_compilation_cache,
+    )
+
+    enable_compilation_cache()
+    n_pairs = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+    b = 8  # images per decode call (16 per pair batch)
+
+    pipe = SDXLPipeline.random(
+        lora_rank=0, resolution=512, fast_init=True, param_dtype=jnp.bfloat16
+    )
+    scorer = PickScoreScorer(
+        text_config=CLIPTextConfig.vit_h14(),
+        vision_config=CLIPVisionConfig.vit_h14(),
+        fast_init=False,  # random weights must be real (zeros score 0)
+        param_dtype=jnp.bfloat16,
+    )
+    # fast_init pipeline zero-fills weights -> re-init VAE decoder with
+    # real random values (zero weights would decode to a constant)
+    import flax.linen as _  # noqa: F401
+
+    vae_vars = pipe.vae.init(
+        jax.random.key(7), jnp.zeros((1, 8, 8, 4)), method=pipe.vae.decode
+    )
+
+    decode = jax.jit(
+        lambda z, vv: pipe.vae.apply(vv, z, method=pipe.vae.decode)
+    )
+    ids = jnp.asarray(np.random.default_rng(0).integers(1, 49407, (b, 77)))
+    text_feats = scorer.text_features(ids)
+
+    def score(images):
+        return np.asarray(scorer.score_with_text_features(images, text_feats))
+
+    psnrs, snrs, deltas, flips, gaps = [], [], [], 0, []
+    for it in range(-(-2 * n_pairs // (2 * b))):
+        z = jax.random.normal(
+            jax.random.fold_in(jax.random.key(1), it), (2 * b, 64, 64, 4)
+        ) / pipe.vae.config.scaling_factor
+        qconv.set_use_int8_decode(False)
+        img_fp = decode(z, vae_vars)
+        np.asarray(img_fp[0, 0, 0])
+        qconv.set_use_int8_decode(True)
+        img_q = decode(z, vae_vars)
+        a = np.asarray(img_fp, np.float64)
+        q = np.asarray(img_q, np.float64)
+        err = q - a
+        snrs.append(10 * np.log10(np.var(a) / max(np.var(err), 1e-30)))
+        # PSNR over the [-1,1] image range (peak 2.0)
+        psnrs.append(10 * np.log10(4.0 / max(np.mean(err**2), 1e-30)))
+        s_fp = np.concatenate([score(img_fp[:b]), score(img_fp[b:])])
+        s_q = np.concatenate([score(img_q[:b]), score(img_q[b:])])
+        deltas.extend(np.abs(s_q - s_fp).tolist())
+        g0, g1 = s_fp[:b] - s_fp[b:], s_q[:b] - s_q[b:]
+        flips += int(np.sum(np.sign(g0) != np.sign(g1)))
+        gaps.extend(np.abs(g0).tolist())
+
+    out = {
+        "n_pairs": n_pairs,
+        "snr_db": float(np.mean(snrs)),
+        "psnr_db": float(np.mean(psnrs)),
+        "pickscore_abs_delta_mean": float(np.mean(deltas)),
+        "pickscore_abs_delta_p95": float(np.percentile(deltas, 95)),
+        "pair_gap_abs_mean": float(np.mean(gaps)),
+        "preference_flips": flips,
+        "flip_rate": flips / float(n_pairs * 2 * b // (2 * b) * b),
+    }
+    print(json.dumps(out, indent=2))
+
+
+if __name__ == "__main__":
+    main()

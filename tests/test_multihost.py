@@ -146,3 +146,53 @@ def test_two_process_eval_identical_to_single_process(tmp_path):
             atol=0,
             err_msg=f"{name} per-prompt scores diverge across process counts",
         )
+
+
+def _skip_if_gloo_deadline(outs):
+    """Single-core CI: heavy per-rank compiles can drift processes past
+    Gloo's 30 s rendezvous window — an environment limit, not a bug."""
+    if any("Gloo context initialization failed" in o
+           or "DEADLINE_EXCEEDED" in o for o in outs):
+        pytest.skip("cross-process rendezvous timed out under host load")
+
+
+@pytest.mark.timeout(600)
+def test_two_process_online_runner(tmp_path):
+    """The mesh-wired run_online_pso over 2 real processes: per-host
+    batches -> global sharded arrays, global microbatch slicing, the
+    on-policy loss==log(2) anchor on both ranks."""
+    RUNNER_WORKER = os.path.join(REPO, "tests", "multihost_runner_worker.py")
+    port = _free_port()
+    env_base = {
+        **os.environ,
+        "PSO_COORDINATOR": f"127.0.0.1:{port}",
+        "PSO_NUM_PROCESSES": "2",
+        "PSO_TEST_OUT": str(tmp_path),
+        "JAX_PLATFORMS": "cpu",
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=1",
+    }
+    procs = []
+    for r in range(2):
+        env = {**env_base, "PSO_PROCESS_ID": str(r)}
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, RUNNER_WORKER],
+                env=env,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT,
+                text=True,
+            )
+        )
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=540)
+            outs.append(out)
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        pytest.skip("distributed loopback timed out (environment limitation)")
+    _skip_if_gloo_deadline(outs)
+    for r, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"rank {r} failed:\n{out}"
+        assert f"WORKER_OK rank={r}" in out, out

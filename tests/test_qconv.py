@@ -85,3 +85,29 @@ def test_vae_decoder_int8_mode_close_to_fp():
     qconv.set_use_int8_decode(False)
     m0, lv0 = vae.apply(v, x, method=vae.encode)
     np.testing.assert_allclose(np.asarray(m1), np.asarray(m0), atol=1e-6)
+
+
+def test_int8_decode_image_level_snr():
+    """Image-level qualification (round-2 verdict item 5): a full tiny-VAE
+    DECODE with the int8 path must stay within a measured SNR of the fp32
+    decode — pinning the bound at the image level, not per-conv."""
+    from pairwise_sample_optimization_tpu.models.vae import (
+        AutoencoderKL,
+        VAEConfig,
+    )
+
+    cfg = VAEConfig.tiny()
+    vae = AutoencoderKL(cfg)
+    latents = jax.random.normal(jax.random.key(0), (2, 8, 8, 4))
+    variables = vae.init(jax.random.key(1), latents, method=vae.decode)
+
+    ref = np.asarray(vae.apply(variables, latents, method=vae.decode))
+    qconv.set_use_int8_decode(True)
+    got = np.asarray(vae.apply(variables, latents, method=vae.decode))
+
+    err = got.astype(np.float64) - ref.astype(np.float64)
+    snr_db = 10.0 * np.log10(np.var(ref) / max(np.var(err), 1e-30))
+    # dynamic int8 with per-channel weight scales holds >25 dB end to end
+    # through the stacked decoder convs (measured ~30+ on random weights;
+    # full-size numbers in BENCHMARKS.md via scripts/qualify_int8_decode.py)
+    assert snr_db > 25.0, snr_db
