@@ -263,17 +263,34 @@ def run_online_pso(
     # (or FSDP-sharded under ``mesh.fsdp``) over the mesh, batches sharded
     # over ``data`` below — XLA then inserts the ICI collectives.
     use_fsdp = bool(config.mesh.get("fsdp", False))
-    if use_fsdp:
-        from ..parallel.fsdp import shard_params_fsdp
+    use_tp = dict(mesh.shape).get("model", 1) > 1
+    if use_tp and use_fsdp:
+        raise ValueError(
+            "mesh.fsdp combines weight sharding over 'data' with "
+            "mesh.model>1 width sharding — unsupported; pick one"
+        )
+    if use_tp:
+        # tensor parallel over the ``model`` axis (capability beyond the
+        # DDP-only reference): UNet attention/GEGLU width-sharded per
+        # parallel/tp.py; VAE + scorer stay replicated (GSPMD inserts the
+        # ICI collectives where data-sharded activations meet them)
+        from ..parallel.tp import shard_unet_params
 
-        place_frozen = lambda tree: shard_params_fsdp(tree, mesh)
+        pipe.unet_variables = shard_unet_params(pipe.unet_variables, mesh)
+        pipe.vae_variables = replicate(mesh, pipe.vae_variables)
+        scorer.variables = replicate(mesh, scorer.variables)
     else:
-        place_frozen = lambda tree: replicate(mesh, tree)
-    pipe.unet_variables["params"] = place_frozen(pipe.unet_variables["params"])
-    pipe.vae_variables = place_frozen(pipe.vae_variables)
-    scorer.variables = place_frozen(scorer.variables)
-    if not full_ft:
-        pipe.unet_variables["lora"] = replicate(mesh, pipe.unet_variables["lora"])
+        if use_fsdp:
+            from ..parallel.fsdp import shard_params_fsdp
+
+            place_frozen = lambda tree: shard_params_fsdp(tree, mesh)
+        else:
+            place_frozen = lambda tree: replicate(mesh, tree)
+        pipe.unet_variables["params"] = place_frozen(pipe.unet_variables["params"])
+        pipe.vae_variables = place_frozen(pipe.vae_variables)
+        scorer.variables = place_frozen(scorer.variables)
+        if not full_ft:
+            pipe.unet_variables["lora"] = replicate(mesh, pipe.unet_variables["lora"])
     aux_vars = {"vae": pipe.vae_variables, "scorer": scorer.variables}
 
     # ---- state / resume ----
@@ -288,9 +305,15 @@ def run_online_pso(
                 ckpt, jax.eval_shape(lambda: state), {"epoch": 0}
             )
             logger.info("resumed from %s (step %d)", ckpt, int(state.step))
-    # trainable + optimizer state replicated (the DDP-equivalent part);
-    # grad reduction over ``data`` comes from the sharded update batches
-    state = replicate(mesh, state)
+    # trainable + optimizer state replicated (the DDP-equivalent part) —
+    # or width-sharded in step with the TP params; grad reduction over
+    # ``data`` comes from the sharded update batches
+    if use_tp:
+        from ..parallel.tp import shard_state_tp
+
+        state = shard_state_tp(state, mesh, full_finetune=full_ft)
+    else:
+        state = replicate(mesh, state)
 
     encode = jax.jit(pipe.encode_prompt)
     text_feats = jax.jit(scorer._text_features_impl)

@@ -55,6 +55,9 @@ def get_config():
     # ---- mesh / parallelism (TPU-native; reference had DDP-only) ----
     config.mesh = mesh = ml_collections.ConfigDict()
     mesh.data = -1  # -1: all devices
+    # >1 enables tensor parallelism: UNet attention/GEGLU width-sharded
+    # over the model axis (parallel/tp.py), trainable state sharded in
+    # step; incompatible with mesh.fsdp
     mesh.model = 1
     # ZeRO-3-style sharding of the frozen weight suite (UNet params, VAE,
     # scorer towers) over the data axis; trainable LoRA + optimizer state

@@ -22,8 +22,23 @@ _COL_KERNELS = ("to_q", "to_k", "to_v")  # output-dim sharded
 _ROW_KERNELS = ("to_out",)  # input-dim sharded
 
 
-def _spec_for(path: tuple[str, ...]) -> P:
-    names = [p.key for p in path]
+def _path_names(path) -> list[str]:
+    """Key names along a tree path, across key kinds (dict keys in the
+    weight trees; attribute/index keys through NamedTuple train states
+    and optax tuples)."""
+    out = []
+    for p in path:
+        name = getattr(p, "key", None)
+        if name is None:
+            name = getattr(p, "name", None)
+        if name is None:
+            name = getattr(p, "idx", p)
+        out.append(str(name))
+    return out
+
+
+def _spec_for(path) -> P:
+    names = _path_names(path)
     leaf = names[-1]
     parent = names[-2] if len(names) > 1 else ""
     if parent in _COL_KERNELS:
@@ -41,8 +56,8 @@ def _spec_for(path: tuple[str, ...]) -> P:
     return P()
 
 
-def _lora_spec_for(path: tuple[str, ...]) -> P:
-    names = [p.key for p in path]
+def _lora_spec_for(path) -> P:
+    names = _path_names(path)
     site = names[-2] if len(names) > 1 else ""
     ab = names[-1]
     if site in _COL_KERNELS:
@@ -73,3 +88,22 @@ def shard_unet_params(variables, mesh: Mesh):
     """Place UNet variables with tensor-parallel shardings."""
     shardings = unet_param_shardings(variables, mesh)
     return jax.tree.map(jax.device_put, variables, shardings)
+
+
+def shard_state_tp(state, mesh: Mesh, full_finetune: bool = False):
+    """Place a PSOTrainState with tensor-parallel shardings.
+
+    The optimizer moments mirror the trainable tree, so the same
+    site-name rules apply down every path (the path *suffix* through
+    ``opt_state[...].mu``/``nu`` is the trainable tree's own path);
+    scalars (``step``, adam ``count``) land on no-match ``P()``.
+    LoRA mode uses the LoRA a/b rules; full-finetune states carry the
+    whole param tree and use the kernel rules.
+    """
+    spec_fn = _spec_for if full_finetune else _lora_spec_for
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: jax.device_put(
+            leaf, NamedSharding(mesh, spec_fn(path))
+        ),
+        state,
+    )

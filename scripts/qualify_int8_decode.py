@@ -62,9 +62,20 @@ def main():
         jax.random.key(7), jnp.zeros((1, 8, 8, 4)), method=pipe.vae.decode
     )
 
-    decode = jax.jit(
-        lambda z, vv: pipe.vae.apply(vv, z, method=pipe.vae.decode)
-    )
+    # the int8 flag is read at TRACE time — one jitted decode would bake
+    # whichever mode was live at its first call and silently ignore the
+    # toggle. Trace one function per mode, under the right flag.
+    def _decode(z, vv):
+        return pipe.vae.apply(vv, z, method=pipe.vae.decode)
+
+    decode_fp = jax.jit(_decode)
+    decode_q = jax.jit(lambda z, vv: _decode(z, vv))
+    z0 = jnp.zeros((2 * b, 64, 64, 4))
+    qconv.set_use_int8_decode(False)
+    np.asarray(decode_fp(z0, vae_vars)[0, 0, 0])
+    qconv.set_use_int8_decode(True)
+    np.asarray(decode_q(z0, vae_vars)[0, 0, 0])
+    qconv.set_use_int8_decode(False)
     ids = jnp.asarray(np.random.default_rng(0).integers(1, 49407, (b, 77)))
     text_feats = scorer.text_features(ids)
 
@@ -76,11 +87,8 @@ def main():
         z = jax.random.normal(
             jax.random.fold_in(jax.random.key(1), it), (2 * b, 64, 64, 4)
         ) / pipe.vae.config.scaling_factor
-        qconv.set_use_int8_decode(False)
-        img_fp = decode(z, vae_vars)
-        np.asarray(img_fp[0, 0, 0])
-        qconv.set_use_int8_decode(True)
-        img_q = decode(z, vae_vars)
+        img_fp = decode_fp(z, vae_vars)
+        img_q = decode_q(z, vae_vars)
         a = np.asarray(img_fp, np.float64)
         q = np.asarray(img_q, np.float64)
         err = q - a
@@ -94,6 +102,12 @@ def main():
         flips += int(np.sum(np.sign(g0) != np.sign(g1)))
         gaps.extend(np.abs(g0).tolist())
 
+    # guard: 60+ dB means the int8 path did not actually engage (the
+    # trace-time-flag failure mode this script once had)
+    assert np.mean(snrs) < 60.0, (
+        f"int8 and fp decodes are bit-identical-class ({np.mean(snrs):.1f} dB) "
+        "— the int8 path did not engage"
+    )
     out = {
         "n_pairs": n_pairs,
         "snr_db": float(np.mean(snrs)),

