@@ -108,15 +108,16 @@ def main():
         f"int8 and fp decodes are bit-identical-class ({np.mean(snrs):.1f} dB) "
         "— the int8 path did not engage"
     )
+    total_pairs = len(gaps)  # b pairs per iteration
     out = {
-        "n_pairs": n_pairs,
+        "n_pairs": total_pairs,
         "snr_db": float(np.mean(snrs)),
         "psnr_db": float(np.mean(psnrs)),
         "pickscore_abs_delta_mean": float(np.mean(deltas)),
         "pickscore_abs_delta_p95": float(np.percentile(deltas, 95)),
         "pair_gap_abs_mean": float(np.mean(gaps)),
         "preference_flips": flips,
-        "flip_rate": flips / float(n_pairs * 2 * b // (2 * b) * b),
+        "flip_rate": flips / float(total_pairs),
     }
     print(json.dumps(out, indent=2))
 
