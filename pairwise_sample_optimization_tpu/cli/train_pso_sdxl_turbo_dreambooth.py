@@ -422,9 +422,20 @@ def main(argv=None):
         fuse_ref_pass=not args.use_dora,
     )
     tx = _make_optimizer(args, total_steps)
+    # data-parallel mesh (reference DreamBooth runs under accelerate-DDP,
+    # ``:228-233``): frozen weights replicated, per-step batches sharded
+    # over ``data`` inside trainer.update, grads psum'd by XLA
+    from ..parallel.mesh import make_mesh, replicate
+
+    mesh = make_mesh()
+    pipe.unet_variables = replicate(mesh, pipe.unet_variables)
+    pipe.vae_variables = replicate(mesh, pipe.vae_variables)
+    pipe.te1_variables = replicate(mesh, pipe.te1_variables)
+    pipe.te2_variables = replicate(mesh, pipe.te2_variables)
     trainer = DreamBoothPSOTrainer(
         cfg, pipe.unet_apply, tx,
         encode_prompt=encode_with_te_lora if args.train_text_encoder else None,
+        mesh=mesh,
     )
     if args.train_text_encoder:
         lora0 = {
@@ -456,6 +467,8 @@ def main(argv=None):
             logger.info("resumed from %s at step %d", path, start_step)
         else:
             logger.warning("no checkpoint found to resume from; starting fresh")
+    # trainable + optimizer state replicated over the mesh (DDP-equivalent)
+    state = replicate(mesh, state)
 
     ga, b = args.gradient_accumulation_steps, args.train_batch_size
     ids1 = jnp.asarray(tok1([args.instance_prompt] * b))
@@ -542,7 +555,9 @@ def main(argv=None):
         logger.info("saved %s", path)
 
     mlog = MetricLogger(args.output_dir, "dreambooth_pso", use_wandb=args.use_wandb)
-    rng = np.random.default_rng(args.seed + start_step)
+    # per-process offset decorrelates the host-local draws (the reference's
+    # per-rank DataLoader shards under DDP); process 0 = single-host seed
+    rng = np.random.default_rng(args.seed + start_step + 7919 * jax.process_index())
     root = jax.random.key(args.seed)
 
     for step in range(start_step, total_steps):

@@ -114,15 +114,22 @@ class DreamBoothPSOTrainer:
         tx,
         schedule_config: NoiseScheduleConfig = NoiseScheduleConfig(),
         encode_prompt: Optional[Callable] = None,
+        mesh=None,
     ):
         """``encode_prompt(te_params, te_loras, ids1, ids2) -> cond`` is
         required when ``config.train_text_encoder`` — it must apply the
         text towers with the given LoRA collections (gradients flow
-        through it into the TE adapters)."""
+        through it into the TE adapters).
+
+        ``mesh``: a ``jax.sharding.Mesh`` for data parallelism — batches
+        are sharded over ``data`` in :meth:`update` and XLA psums the
+        grads, the TPU-native equivalent of the reference's
+        ``accelerate``-DDP DreamBooth run (multi-host aware)."""
         self.config = config
         self.unet_apply = unet_apply
         self.tx = tx
         self.encode_prompt = encode_prompt
+        self.mesh = mesh
         if config.train_text_encoder and encode_prompt is None:
             raise ValueError("train_text_encoder=True needs encode_prompt")
         if config.scheduler_space not in ("euler_edm", "edm", "ddpm"):
@@ -314,4 +321,12 @@ class DreamBoothPSOTrainer:
         return new_state, aux
 
     def update(self, state, params, batch, key):
+        if self.mesh is not None:
+            from ..parallel.mesh import shard_global_batch
+
+            # leading axis is grad-accum (scanned) when ga > 1; the
+            # device-batch axis behind it is what shards over ``data``
+            batch = shard_global_batch(
+                self.mesh, batch, axis=1 if self.config.grad_accum > 1 else 0
+            )
         return self._update(state, params, batch, key)

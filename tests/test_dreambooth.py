@@ -82,6 +82,48 @@ def test_update_moves_lora(loss_type):
     assert int(state.step) == 1
 
 
+def test_mesh_update_matches_single_device():
+    """trainer.update with a data-parallel mesh must shard the batch over
+    ``data`` and reproduce the unmeshed update numerically (the reference
+    DreamBooth's accelerate-DDP equivalence)."""
+    from jax.sharding import PartitionSpec as P
+
+    from pairwise_sample_optimization_tpu.parallel.mesh import (
+        MeshSpec,
+        make_mesh,
+        replicate,
+    )
+
+    n = len(jax.devices())
+    if n < 2:
+        pytest.skip("needs multiple devices")
+    trainer, variables, batch = _make()
+    # batch divisible by the data axis so the shard actually distributes
+    big = jax.tree.map(lambda x: jnp.concatenate([x] * (-(-n // B)), 0)[:n], batch)
+    # fresh buffer copies per run: _update donates the state, whose lora
+    # leaves otherwise alias variables["lora"]
+    fresh = lambda: jax.tree.map(jnp.array, variables["lora"])
+    state0 = PSOTrainState.create(fresh(), trainer.tx)
+    s_ref, aux_ref = trainer.update(
+        state0, variables["params"], big, jax.random.key(7)
+    )
+
+    mesh = make_mesh(MeshSpec(data=n))
+    trainer.mesh = mesh
+    from pairwise_sample_optimization_tpu.parallel.mesh import shard_global_batch
+
+    placed = shard_global_batch(mesh, big, axis=0)
+    assert placed["instance_latents"].sharding.spec == P("data")
+    state0 = replicate(mesh, PSOTrainState.create(fresh(), trainer.tx))
+    params = replicate(mesh, variables["params"])
+    s_mesh, aux_mesh = trainer.update(state0, params, big, jax.random.key(7))
+    np.testing.assert_allclose(
+        float(aux_mesh["loss"]), float(aux_ref["loss"]), rtol=1e-5
+    )
+    for a, b_ in zip(jax.tree.leaves(s_ref.lora), jax.tree.leaves(s_mesh.lora)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-6)
+
+
 def test_pso_first_step_logits_zero():
     """With LoRA b=0, policy == reference -> ref_diff == model_diff ->
     logits 0 -> loss = log(2) + prior term."""
