@@ -54,13 +54,29 @@ def group_norm(
     c = x.shape[-1]
     assert c % num_groups == 0, (c, num_groups)
     orig_dtype = x.dtype
-    xf = x.astype(jnp.float32)
-    grouped = xf.reshape(x.shape[:-1] + (num_groups, c // num_groups))
     # stats over all spatial dims + channels-within-group
     red_axes = tuple(range(1, x.ndim - 1)) + (x.ndim,)
-    mean = grouped.mean(axis=red_axes, keepdims=True)
-    var = grouped.var(axis=red_axes, keepdims=True)
-    normed = (grouped - mean) * jax.lax.rsqrt(var + eps)
+    if orig_dtype == jnp.float32:
+        # exact two-pass stats (the upcast is free for fp32 inputs)
+        grouped = x.reshape(x.shape[:-1] + (num_groups, c // num_groups))
+        mean = grouped.mean(axis=red_axes, keepdims=True)
+        var = grouped.var(axis=red_axes, keepdims=True)
+    else:
+        # sub-fp32 inputs: a materialized x.astype(f32) copy is the
+        # single largest HBM temp of the VAE decode ([2B,512,512,128]
+        # f32 in the B>=10 OOM dumps). fp32-ACCUMULATED reductions on
+        # the bf16 array instead (flax-normalization style E[x^2]-E[x]^2;
+        # the convert fuses into the reduce, nothing f32-sized is
+        # materialized) and a fused convert->normalize->silu chain below.
+        grouped = x.reshape(x.shape[:-1] + (num_groups, c // num_groups))
+        mean = jnp.mean(grouped, axis=red_axes, keepdims=True, dtype=jnp.float32)
+        msq = jnp.mean(
+            jnp.square(grouped.astype(jnp.float32)),
+            axis=red_axes,
+            keepdims=True,
+        )
+        var = jnp.maximum(msq - jnp.square(mean), 0.0)
+    normed = (grouped.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + eps)
     normed = normed.reshape(x.shape)
     out = normed * scale.astype(jnp.float32) + bias.astype(jnp.float32)
     if act == "silu":
