@@ -116,7 +116,8 @@ def run_online_pso(
         jnp.bfloat16 if config.get("param_dtype", "float32") == "bfloat16" else None
     )
     remat_knob = config.get("activation_checkpoint", "full")
-    remat = remat_knob if remat_knob in ("full", "resnets") else bool(remat_knob)
+    _REMAT_MODES = ("full", "resnets", "dots", "lowres", "lowres_dots")
+    remat = remat_knob if remat_knob in _REMAT_MODES else bool(remat_knob)
     if config.pretrained.model_dir:
         pipe = SDXLPipeline.from_torch_dir(
             config.pretrained.model_dir,

@@ -89,6 +89,10 @@ def parse_args(argv=None):
                    help="weight-decomposed LoRA (ref --use_dora :741, peft DoRA)")
     p.add_argument("--gradient_checkpointing", action="store_true",
                    help="rematerialize UNet blocks in backward (ref :1201)")
+    p.add_argument("--gradient_checkpointing_mode", default="full",
+                   choices=["full", "resnets", "dots", "lowres", "lowres_dots"],
+                   help="remat policy used when --gradient_checkpointing is "
+                        "set (beyond-parity: the reference only has on/off)")
     p.add_argument("--seed", type=int, default=0)
     # optimizer (reference :620-668,1479-1565)
     p.add_argument("--optimizer", default="AdamW",
@@ -272,7 +276,7 @@ def main(argv=None):
     te_lora_rank = args.rank if args.train_text_encoder else 0
 
     # ---- pipeline ----
-    remat = "full" if args.gradient_checkpointing else False
+    remat = args.gradient_checkpointing_mode if args.gradient_checkpointing else False
     if args.pretrained_model_dir:
         pipe = SDXLPipeline.from_torch_dir(
             args.pretrained_model_dir,

@@ -25,7 +25,9 @@ def get_config():
     # chip; LoRA masters stay fp32 regardless)
     config.param_dtype = "float32"
     # rematerialize UNet blocks in backward (ref gradient checkpointing):
-    # "full" | "resnets" (selective) | "" (off)
+    # "full" | "resnets" | "dots" (save weight-matmul outputs, recompute
+    # elementwise+attention) | "lowres" (full remat at high-res levels
+    # only) | "lowres_dots" | "" (off)
     config.activation_checkpoint = "full"
     # toy 2-level models end-to-end (CI smoke / CPU bringup)
     config.tiny_model = False

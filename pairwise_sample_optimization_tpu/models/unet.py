@@ -24,6 +24,7 @@ import dataclasses
 from typing import Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from .layers import (
@@ -73,7 +74,15 @@ class UNetConfig:
     # activation memory; essential for 1024^2 training.
     # False/"none" = off; True/"full" = resnets+transformers;
     # "resnets" = selective (frees the large conv maps, keeps attention
-    # activations — 512^2 no-remat misses a 16GB chip by ~63MB)
+    # activations — 512^2 no-remat misses a 16GB chip by ~63MB);
+    # "dots" = remat every block under the dots_with_no_batch_dims
+    # policy (weight-matmul outputs saved, elementwise/attention
+    # recomputed — near-no-remat FLOPs at a fraction of the memory);
+    # "lowres" = full remat at the high-resolution levels only (where
+    # the activation maps are large and the FLOPs small), none at the
+    # FLOP-dominant lowest level + mid;
+    # "lowres_dots" = full remat at high-res levels, dots policy at the
+    # lowest level + mid.
     remat: bool | str = False
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.float32
@@ -165,21 +174,53 @@ class SDXLUNet(nn.Module):
             )(add_embeds.astype(dt))
 
         context = encoder_hidden_states.astype(dt)
-        remat_resnets = cfg.remat in (True, "full", "resnets")
-        remat_attn = cfg.remat in (True, "full")
-        ResnetCls = nn.remat(ResnetBlock) if remat_resnets else ResnetBlock
-        TransformerCls = (
-            nn.remat(SpatialTransformer, static_argnums=())
-            if remat_attn
-            else SpatialTransformer
-        )
-        resnet = lambda ch, name: ResnetCls(
-            ch, groups=cfg.norm_groups, dtype=dt, param_dtype=pdt, name=name
-        )
 
-        def transformer(depth, ch, name):
+        # Per-level remat mode resolution (see UNetConfig.remat). Levels
+        # are indexed by channel-stage; "mid" shares the lowest level's
+        # decision. Each mode maps a position to one of
+        # {None, "full", "resnets-only", "dots"}.
+        _dots_policy = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+
+        def _mode_at(level: int) -> tuple[bool, bool, object]:
+            """-> (remat_resnet, remat_attn, policy-or-None) at `level`."""
+            m = cfg.remat
+            if m in (False, None, "none"):
+                return False, False, None
+            if m in (True, "full"):
+                return True, True, None
+            if m == "resnets":
+                return True, False, None
+            if m == "dots":
+                return True, True, _dots_policy
+            lowres = level == n_levels - 1
+            if m == "lowres":
+                return (not lowres), (not lowres), None
+            if m == "lowres_dots":
+                return True, True, (_dots_policy if lowres else None)
+            raise ValueError(f"unknown remat mode: {m!r}")
+
+        def _classes_at(level: int):
+            r_res, r_attn, policy = _mode_at(level)
+            res_cls = (
+                nn.remat(ResnetBlock, policy=policy) if r_res else ResnetBlock
+            )
+            tr_cls = (
+                nn.remat(SpatialTransformer, static_argnums=(), policy=policy)
+                if r_attn
+                else SpatialTransformer
+            )
+            return res_cls, tr_cls
+
+        def resnet(ch, name, level):
+            cls = _classes_at(level)[0]
+            return cls(
+                ch, groups=cfg.norm_groups, dtype=dt, param_dtype=pdt, name=name
+            )
+
+        def transformer(depth, ch, name, level):
             heads, head_dim = cfg.heads_for(ch)
-            return TransformerCls(
+            cls = _classes_at(level)[1]
+            return cls(
                 depth=depth,
                 heads=heads,
                 head_dim=head_dim,
@@ -201,9 +242,9 @@ class SDXLUNet(nn.Module):
         for level, ch in enumerate(cfg.block_out_channels):
             depth = cfg.transformer_layers[level]
             for i in range(cfg.layers_per_block):
-                h = resnet(ch, f"down_{level}_resnet_{i}")(h, temb)
+                h = resnet(ch, f"down_{level}_resnet_{i}", level)(h, temb)
                 if depth:
-                    h = transformer(depth, ch, f"down_{level}_attn_{i}")(
+                    h = transformer(depth, ch, f"down_{level}_attn_{i}", level)(
                         h, context, lora_scale
                     )
                 skips.append(h)
@@ -218,10 +259,12 @@ class SDXLUNet(nn.Module):
             if cfg.mid_transformer_layers is not None
             else cfg.transformer_layers[-1]
         )
-        h = resnet(mid_ch, "mid_resnet_0")(h, temb)
+        h = resnet(mid_ch, "mid_resnet_0", n_levels - 1)(h, temb)
         if mid_depth:
-            h = transformer(mid_depth, mid_ch, "mid_attn")(h, context, lora_scale)
-        h = resnet(mid_ch, "mid_resnet_1")(h, temb)
+            h = transformer(mid_depth, mid_ch, "mid_attn", n_levels - 1)(
+                h, context, lora_scale
+            )
+        h = resnet(mid_ch, "mid_resnet_1", n_levels - 1)(h, temb)
 
         # --- up ---
         for rev, ch in enumerate(reversed(cfg.block_out_channels)):
@@ -229,9 +272,9 @@ class SDXLUNet(nn.Module):
             depth = cfg.transformer_layers[level]
             for i in range(cfg.layers_per_block + 1):
                 h = jnp.concatenate([h, skips.pop()], axis=-1)
-                h = resnet(ch, f"up_{level}_resnet_{i}")(h, temb)
+                h = resnet(ch, f"up_{level}_resnet_{i}", level)(h, temb)
                 if depth:
-                    h = transformer(depth, ch, f"up_{level}_attn_{i}")(
+                    h = transformer(depth, ch, f"up_{level}_attn_{i}", level)(
                         h, context, lora_scale
                     )
             if level > 0:

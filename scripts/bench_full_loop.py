@@ -7,7 +7,7 @@ ga 2, LoRA r=32). Weights are random (throughput is value-independent).
 
 Knobs via env:
   PSO_FUSE_REF=1|0     fuse policy+ref into one 4b apply (default 1)
-  PSO_REMAT=full|resnets|none
+  PSO_REMAT=full|resnets|dots|lowres|lowres_dots|none
   PSO_ATTN=xla|pallas  unet attention impl (default xla)
   PSO_RES=512          resolution
   PSO_STEPS=4          sampling steps
@@ -69,7 +69,11 @@ def main():
         make_optimizer,
     )
 
-    remat = REMAT if REMAT in ("full", "resnets") else False
+    remat = (
+        REMAT
+        if REMAT in ("full", "resnets", "dots", "lowres", "lowres_dots")
+        else False
+    )
     pipe = SDXLPipeline.random(
         lora_rank=32,
         dtype=jnp.bfloat16,

@@ -49,6 +49,19 @@ def test_online_runner_tiny(tmp_path, sampler):
     )
 
 
+@pytest.mark.parametrize("mode", ["dots", "lowres_dots"])
+def test_online_runner_remat_modes(tmp_path, mode):
+    """Policy/per-level remat reaches the UNet from the config knob and
+    preserves the on-policy loss==log(2) anchor."""
+    from pairwise_sample_optimization_tpu.cli.online_runner import run_online_pso
+
+    config = _tiny_online_config(tmp_path, "turbo")
+    config.run_name = f"smoke_remat_{mode}"
+    config.activation_checkpoint = mode
+    state, history = run_online_pso(config, sampler="turbo", num_epochs=1)
+    np.testing.assert_allclose(history[0]["loss"], np.log(2.0), rtol=1e-3)
+
+
 def test_online_runner_validation(tmp_path):
     import json
 

@@ -76,6 +76,47 @@ class TestUNet:
         assert all(np.isfinite(norms))
         assert sum(norms) > 0  # a-grads nonzero even while b == 0
 
+    def test_remat_modes_match_no_remat(self):
+        """Every remat mode is a pure scheduling choice: outputs and LoRA
+        grads must match the no-remat program bit-for-bit-ish (fp32 CPU)."""
+        import dataclasses
+
+        base = UNetConfig.tiny(lora_rank=4)
+        inputs = _unet_inputs(base)
+        model0 = SDXLUNet(base)
+        variables = model0.init(jax.random.key(0), **inputs)
+
+        def loss_fn(cfg):
+            model = SDXLUNet(cfg)
+
+            def f(lora):
+                out = model.apply(
+                    {"params": variables["params"], "lora": lora},
+                    **inputs,
+                    lora_scale=1.0,
+                )
+                return jnp.sum(out**2), out
+
+            return jax.value_and_grad(f, has_aux=True)(variables["lora"])
+
+        (l0, out0), g0 = loss_fn(base)
+        for mode in ("full", "resnets", "dots", "lowres", "lowres_dots"):
+            cfg = dataclasses.replace(base, remat=mode)
+            (l1, out1), g1 = loss_fn(cfg)
+            np.testing.assert_allclose(
+                np.asarray(out1), np.asarray(out0), atol=1e-5, err_msg=mode
+            )
+            # grads see recompute-order noise (different contraction order
+            # in the rematerialized backward): tolerance is ~1e-5 relative
+            jax.tree.map(
+                lambda a, b: np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b),
+                    atol=1e-4, rtol=1e-5, err_msg=mode,
+                ),
+                g1,
+                g0,
+            )
+
     def test_sdxl_param_count(self):
         # full SDXL UNet must land at the known ~2.57B scale; eval_shape only
         cfg = UNetConfig.sdxl()
