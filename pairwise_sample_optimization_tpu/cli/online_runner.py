@@ -30,6 +30,7 @@ from ..parallel.mesh import (
     MeshSpec,
     fetch_replicated,
     make_mesh,
+    move_to_memory_kind,
     replicate,
     shard_global_batch,
 )
@@ -264,6 +265,7 @@ def run_online_pso(
     # (or FSDP-sharded under ``mesh.fsdp``) over the mesh, batches sharded
     # over ``data`` below — XLA then inserts the ICI collectives.
     use_fsdp = bool(config.mesh.get("fsdp", False))
+    offload_aux = bool(config.get("offload_aux_during_update", False))
     use_tp = dict(mesh.shape).get("model", 1) > 1
     if use_tp and use_fsdp:
         raise ValueError(
@@ -280,6 +282,8 @@ def run_online_pso(
         pipe.unet_variables = shard_unet_params(pipe.unet_variables, mesh)
         pipe.vae_variables = replicate(mesh, pipe.vae_variables)
         scorer.variables = replicate(mesh, scorer.variables)
+        pipe.te1_variables = replicate(mesh, pipe.te1_variables)
+        pipe.te2_variables = replicate(mesh, pipe.te2_variables)
     else:
         if use_fsdp:
             from ..parallel.fsdp import shard_params_fsdp
@@ -290,6 +294,12 @@ def run_online_pso(
         pipe.unet_variables["params"] = place_frozen(pipe.unet_variables["params"])
         pipe.vae_variables = place_frozen(pipe.vae_variables)
         scorer.variables = place_frozen(scorer.variables)
+        # the TE towers must be mesh-placed too: an uncommitted tree works
+        # by accident (jit auto-moves it) until anything commits it — e.g.
+        # the pinned_host offload roundtrip — and then encode's mixed
+        # device assignments fail to lower
+        pipe.te1_variables = place_frozen(pipe.te1_variables)
+        pipe.te2_variables = place_frozen(pipe.te2_variables)
         if not full_ft:
             pipe.unet_variables["lora"] = replicate(mesh, pipe.unet_variables["lora"])
     aux_vars = {"vae": pipe.vae_variables, "scorer": scorer.variables}
@@ -316,18 +326,28 @@ def run_online_pso(
     else:
         state = replicate(mesh, state)
 
-    encode = jax.jit(pipe.encode_prompt)
-    text_feats = jax.jit(scorer._text_features_impl)
+    # TE towers + scorer text features: weights as jit ARGUMENTS — jitting
+    # the bound methods (``jax.jit(pipe.encode_prompt)``) would bake the
+    # GB-scale towers into the executables as constants
+    encode = jax.jit(pipe.encode_prompt_v)
+    text_feats = scorer._text_features  # jitted, takes (variables, ids)
 
     # ---- validation: live-weight 4-step generation + PickScore/CLIP ----
     # (the reference serializes LoRA to disk and reloads a whole pipeline
     # per validation, ``train_online_pso_sdxl_turbo.py:886-902``; here it is
-    # one jitted call sharing HBM weights with training)
-    clip_scorer = CLIPScorer(
-        text_config=CLIPTextConfig.tiny() if tiny else CLIPTextConfig.vit_h14(dtype=dtype),
-        vision_config=CLIPVisionConfig.tiny() if tiny else CLIPVisionConfig.vit_h14(dtype=dtype),
-        **sc_kwargs,
-    )
+    # one jitted call sharing HBM weights with training). The CLIP tower is
+    # built LAZILY: at full size it is ~2 GB of HBM a validation-off run
+    # (every throughput config) must not pay.
+    _clip_scorer_box = []
+
+    def get_clip_scorer():
+        if not _clip_scorer_box:
+            _clip_scorer_box.append(CLIPScorer(
+                text_config=CLIPTextConfig.tiny() if tiny else CLIPTextConfig.vit_h14(dtype=dtype),
+                vision_config=CLIPVisionConfig.tiny() if tiny else CLIPVisionConfig.vit_h14(dtype=dtype),
+                **sc_kwargs,
+            ))
+        return _clip_scorer_box[0]
     # val_dataset resolution order: a local prompts-JSON path, a HF
     # datasets source ("hf:<name-or-save_to_disk-dir>", the reference's
     # yuvalkirstain/pickapic_v1_no_images — hub names need network),
@@ -350,11 +370,11 @@ def run_online_pso(
         return {"params": pipe.unet_variables["params"], "lora": trainable}
 
     @jax.jit
-    def _val_generate(trainable, vae_vars, ids1, ids2, key):
+    def _val_generate(trainable, vae_vars, te1_vars, te2_vars, ids1, ids2, key):
         # live train-state weights enter as jit ARGUMENTS — the reference
         # reloads a whole pipeline from disk per validation (``:886-902``);
         # trace-time swapping of pipe.unet_variables would bake them instead
-        cond = pipe.encode_prompt(ids1, ids2)
+        cond = pipe.encode_prompt_v(te1_vars, te2_vars, ids1, ids2)
         gen = pipe.generate if sampler == "turbo" else pipe.generate_dmd
         return gen(
             cond, key, num_steps=4,
@@ -384,7 +404,8 @@ def run_online_pso(
             ids1 = jnp.asarray(tok1(chunk))
             ids2 = jnp.asarray(tok2(chunk))
             images = _val_generate(
-                state.lora, pipe.vae_variables, ids1, ids2,
+                state.lora, pipe.vae_variables,
+                pipe.te1_variables, pipe.te2_variables, ids1, ids2,
                 jax.random.fold_in(jax.random.key(config.seed), start),
             )
             if start == 0 and jax.process_index() == 0:
@@ -394,7 +415,7 @@ def run_online_pso(
                 )
             r_ids = jnp.asarray(tok_r(chunk))
             ps_scores.append(np.asarray(scorer.score(images, r_ids)))
-            clip_scores.append(np.asarray(clip_scorer.score(images, r_ids)))
+            clip_scores.append(np.asarray(get_clip_scorer().score(images, r_ids)))
         n = len(val_prompts)
         ps = np.concatenate(ps_scores)[:n].mean()
         cs = np.concatenate(clip_scores)[:n].mean()
@@ -436,8 +457,10 @@ def run_online_pso(
                         "reward": np.asarray(batch["reward_input_ids"]),
                     },
                 )
-                cond = encode(ids["one"], ids["two"])
-                rc = {"text_features": text_feats(ids["reward"])}
+                cond = encode(
+                    pipe.te1_variables, pipe.te2_variables, ids["one"], ids["two"]
+                )
+                rc = {"text_features": text_feats(scorer.variables, ids["reward"])}
                 samples, _images = trainer.sample_pairs(
                     variables, cond, rc, jax.random.fold_in(ekey, b_idx),
                     aux_variables=aux_vars,
@@ -478,6 +501,17 @@ def run_online_pso(
         )
 
         # ---------------- training ----------------
+        if offload_aux:
+            # park the sampling-phase-only weight suites (VAE + scorer +
+            # TE towers, ~4-5.5 GB at full size) in TPU-host memory for the
+            # update's duration: the freed HBM is what the dots-policy
+            # remat / larger micro-batches need (BENCHMARKS.md). PCIe
+            # round-trip is ~0.5 s/epoch against a multi-second update.
+            aux_vars = move_to_memory_kind(aux_vars, "pinned_host")
+            pipe.vae_variables = aux_vars["vae"]
+            scorer.variables = aux_vars["scorer"]
+            pipe.te1_variables = move_to_memory_kind(pipe.te1_variables, "pinned_host")
+            pipe.te2_variables = move_to_memory_kind(pipe.te2_variables, "pinned_host")
         with timer.phase("train"):
             state, step_metrics = trainer.train_epoch(
                 state,
@@ -487,6 +521,12 @@ def run_online_pso(
                 jax.random.fold_in(ekey, 1 << 20),
             )
             jax.block_until_ready(state.lora)
+        if offload_aux:
+            aux_vars = move_to_memory_kind(aux_vars, "device")
+            pipe.vae_variables = aux_vars["vae"]
+            scorer.variables = aux_vars["scorer"]
+            pipe.te1_variables = move_to_memory_kind(pipe.te1_variables, "device")
+            pipe.te2_variables = move_to_memory_kind(pipe.te2_variables, "device")
         for m in step_metrics:
             global_step += 1
             metrics_logger.log_metrics({**m, **timer.summary()}, global_step)

@@ -29,6 +29,10 @@ def get_config():
     # elementwise+attention) | "lowres" (full remat at high-res levels
     # only) | "lowres_dots" | "" (off)
     config.activation_checkpoint = "full"
+    # park VAE/scorer/TE weights in TPU-host memory during the update
+    # phase (frees ~4-5.5GB of HBM at full size for remat=dots / larger
+    # micro-batches; costs a ~0.5s/epoch PCIe round-trip)
+    config.offload_aux_during_update = False
     # toy 2-level models end-to-end (CI smoke / CPU bringup)
     config.tiny_model = False
     # zero-fill random weights from eval_shape (fast bringup/throughput runs)

@@ -114,6 +114,25 @@ def shard_global_batch(mesh: Mesh, tree, axis: int = 0):
     return jax.tree.map(place, tree)
 
 
+def move_to_memory_kind(tree, kind: str):
+    """Move every array of ``tree`` to the given memory kind ("device" or
+    "pinned_host"), preserving its sharding. Used to park phase-exclusive
+    weight suites (VAE/scorer/TE during the update phase) in TPU-host
+    memory: on a 16 GB v5e the ~4-5.5 GB they occupy is the difference
+    between remat-full and the dots-policy update program (BENCHMARKS.md
+    "selective remat vs the 16 GB envelope"). The transfers ride the
+    device<->host PCIe link, not any external network."""
+
+    def put(x):
+        if not hasattr(x, "sharding"):
+            return x
+        if getattr(x.sharding, "memory_kind", None) == kind:
+            return x
+        return jax.device_put(x, x.sharding.with_memory_kind(kind))
+
+    return jax.tree.map(put, tree)
+
+
 def fetch_replicated(mesh: Mesh, x) -> np.ndarray:
     """Fetch a (possibly data-sharded, possibly multi-host-global) array as
     a full numpy copy on every host. Replicates via a jitted identity (a

@@ -267,11 +267,19 @@ class SDXLPipeline:
         )
 
     def encode_prompt(self, input_ids_one, input_ids_two):
+        return self.encode_prompt_v(
+            self.te1_variables, self.te2_variables, input_ids_one, input_ids_two
+        )
+
+    def encode_prompt_v(self, te1_variables, te2_variables, input_ids_one, input_ids_two):
+        """Explicit-variables variant for composing jitted programs: the
+        TE weights enter as jit ARGUMENTS — ``jax.jit(self.encode_prompt)``
+        would bake the (GB-scale) towers into the executable as constants."""
         embeds, pooled = encode_sdxl_prompt(
             self.te1,
-            self.te1_variables,
+            te1_variables,
             self.te2,
-            self.te2_variables,
+            te2_variables,
             input_ids_one,
             input_ids_two,
         )

@@ -49,6 +49,34 @@ def test_online_runner_tiny(tmp_path, sampler):
     )
 
 
+def test_online_runner_offload_aux(tmp_path):
+    """offload_aux_during_update round-trips the VAE/scorer/TE suites
+    through pinned_host memory without perturbing the on-policy anchor."""
+    from pairwise_sample_optimization_tpu.cli.online_runner import run_online_pso
+
+    config = _tiny_online_config(tmp_path, "turbo")
+    config.run_name = "smoke_offload"
+    config.offload_aux_during_update = True
+    state, history = run_online_pso(config, sampler="turbo", num_epochs=2)
+    np.testing.assert_allclose(history[0]["loss"], np.log(2.0), rtol=1e-3)
+    assert all(np.isfinite(h["loss"]) for h in history)
+
+
+def test_move_to_memory_kind_roundtrip():
+    import jax
+    import jax.numpy as jnp
+
+    from pairwise_sample_optimization_tpu.parallel.mesh import move_to_memory_kind
+
+    tree = {"a": jnp.ones((8, 8)), "b": jnp.arange(4.0)}
+    host = move_to_memory_kind(tree, "pinned_host")
+    assert all(x.sharding.memory_kind == "pinned_host" for x in jax.tree.leaves(host))
+    back = move_to_memory_kind(host, "device")
+    for k in tree:
+        assert back[k].sharding.memory_kind == "device"
+        np.testing.assert_array_equal(np.asarray(back[k]), np.asarray(tree[k]))
+
+
 @pytest.mark.parametrize("mode", ["dots", "lowres_dots"])
 def test_online_runner_remat_modes(tmp_path, mode):
     """Policy/per-level remat reaches the UNet from the config knob and

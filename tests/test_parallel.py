@@ -207,6 +207,57 @@ class TestTensorParallel:
                 np.asarray(a), np.asarray(b_), rtol=5e-3, atol=5e-3
             )
 
+    def test_fsdp_composes_with_dots_remat(self):
+        """The documented 16GB remedy (BENCHMARKS.md): FSDP weight
+        sharding frees the HBM that `remat=\"dots\"` needs. Verify the
+        combination compiles, runs, and matches the replicated no-remat
+        grads on the 8-device mesh."""
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 devices")
+        import dataclasses
+
+        import jax.numpy as jnp
+
+        from pairwise_sample_optimization_tpu.models import SDXLUNet, UNetConfig
+        from pairwise_sample_optimization_tpu.parallel.fsdp import shard_params_fsdp
+
+        mesh = make_mesh(MeshSpec(data=8, model=1))
+        cfg = UNetConfig.tiny(lora_rank=2)
+        model0 = SDXLUNet(cfg)
+        model_dots = SDXLUNet(dataclasses.replace(cfg, remat="dots"))
+        B = 8
+        inputs = dict(
+            sample=jax.random.normal(jax.random.key(0), (B, 8, 8, 4)),
+            timesteps=jnp.zeros((B,)),
+            encoder_hidden_states=jax.random.normal(
+                jax.random.key(1), (B, 5, cfg.cross_attention_dim)
+            ),
+            pooled_text_embeds=jax.random.normal(
+                jax.random.key(2), (B, cfg.pooled_embed_dim)
+            ),
+            add_time_ids=jnp.zeros((B, 6)),
+        )
+        variables = model0.init(jax.random.key(3), **inputs)
+        params = shard_params_fsdp(variables["params"], mesh, 2**10)
+        batch = jax.tree.map(
+            lambda x: jax.device_put(x, data_sharding(mesh, x.ndim)), inputs
+        )
+
+        def loss(m):
+            def f(lora, p, b):
+                return jnp.sum(m.apply({"params": p, "lora": lora}, **b) ** 2)
+
+            return f
+
+        g_ref = jax.grad(loss(model0))(
+            variables["lora"], variables["params"], inputs
+        )
+        g = jax.jit(jax.grad(loss(model_dots)))(variables["lora"], params, batch)
+        for a, b_ in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b_), rtol=5e-3, atol=5e-3
+            )
+
     def test_specs_divide_sdxl_dims(self):
         """Sharded dims of the full SDXL config divide a model=4 axis."""
         from pairwise_sample_optimization_tpu.parallel.tp import (
