@@ -8,6 +8,9 @@ ga 2, LoRA r=32). Weights are random (throughput is value-independent).
 Knobs via env:
   PSO_FUSE_REF=1|0     fuse policy+ref into one 4b apply (default 1)
   PSO_REMAT=full|resnets|dots|lowres|lowres_dots|none
+  PSO_OFFLOAD=1        park VAE/scorer/TE weights in pinned_host memory
+                       during the update phase (the HBM freed is what
+                       the dots remat policy needs on a 16GB chip)
   PSO_ATTN=xla|pallas  unet attention impl (default xla)
   PSO_RES=512          resolution
   PSO_STEPS=4          sampling steps
@@ -38,6 +41,7 @@ N_BATCHES = int(os.environ.get("PSO_N_BATCHES", "2" if SAMPLER == "dmd" else "4"
 TRAIN_BS = int(os.environ.get("PSO_TRAIN_BS", "1" if SAMPLER == "dmd" else "4"))
 GA = int(os.environ.get("PSO_GA", "4" if SAMPLER == "dmd" else "2"))
 DECODE_CHUNK = int(os.environ.get("PSO_DECODE_CHUNK", "2" if SAMPLER == "dmd" else "0"))
+OFFLOAD = os.environ.get("PSO_OFFLOAD", "0") == "1"
 
 
 def main():
@@ -140,7 +144,10 @@ def main():
         )
     }
 
+    from pairwise_sample_optimization_tpu.parallel.mesh import move_to_memory_kind
+
     def one_epoch(state, key, sync=False):
+        nonlocal aux_vars
         t0 = time.perf_counter()
         all_s, all_c = [], []
         for b_idx in range(N_BATCHES):
@@ -154,11 +161,24 @@ def main():
         c = jax.tree.map(lambda *xs: jnp.concatenate(xs, 0), *all_c)
         np.asarray(samples["log_probs"])  # hard sync (axon: readback only)
         t1 = time.perf_counter()
+        if OFFLOAD:  # park sampling-phase-only weights in TPU-host memory
+            aux_vars = move_to_memory_kind(aux_vars, "pinned_host")
+            pipe.vae_variables = aux_vars["vae"]
+            scorer.variables = aux_vars["scorer"]
+            pipe.te1_variables = move_to_memory_kind(pipe.te1_variables, "pinned_host")
+            pipe.te2_variables = move_to_memory_kind(pipe.te2_variables, "pinned_host")
         state, metrics = trainer.train_epoch(
             state, pipe.unet_variables["params"], samples, c,
             jax.random.fold_in(key, 999),
         )
         np.asarray(jax.tree.leaves(state.lora)[0])  # hard sync
+        if OFFLOAD:
+            aux_vars = move_to_memory_kind(aux_vars, "device")
+            pipe.vae_variables = aux_vars["vae"]
+            scorer.variables = aux_vars["scorer"]
+            pipe.te1_variables = move_to_memory_kind(pipe.te1_variables, "device")
+            pipe.te2_variables = move_to_memory_kind(pipe.te2_variables, "device")
+            np.asarray(jax.tree.leaves(aux_vars["vae"])[0][..., :1])  # sync restore
         t2 = time.perf_counter()
         return state, t1 - t0, t2 - t1, metrics
 
