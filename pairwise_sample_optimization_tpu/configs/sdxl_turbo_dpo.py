@@ -130,7 +130,10 @@ def get_config():
     kernels.gelu_exact = False
 
     # ---- data ----
-    config.prompt_json = ""  # 4k_training_prompts.json-style list
+    # training prompts: a JSON list of {caption: ...} records, or "4k"
+    # for the packaged reference set (4000 PickaPic captions,
+    # data/assets/4k_training_prompts.json); "" = builtin smoke set
+    config.prompt_json = ""
     config.prompt_fn = "simple_animals"  # legacy registry (unused by default)
     config.reward_fn = "pick_score"
 

@@ -7,9 +7,12 @@ shuffled iterator that emits already-tokenized device-ready batches is
 all the "data loader" this workload needs.
 
 The prompt list is data: pass ``json_path`` to any JSON list of
-``{caption: str, ...}`` records (the reference asset
-``4k_training_prompts.json`` works as-is). A small built-in prompt set
-keeps tests and benches self-contained.
+``{caption: str, ...}`` records. The reference's training prompt set
+(4 000 PickaPic captions, protocol data from
+``pso_pytorch/assets/4k_training_prompts.json``) ships with the package
+— ``PromptDataset(json_path="4k")`` or ``training_prompts_path()``
+resolves it. A small built-in prompt set keeps tests and benches
+self-contained when no path is given.
 """
 
 from __future__ import annotations
@@ -39,6 +42,15 @@ _BUILTIN_PROMPTS = [
     "a stack of pancakes with maple syrup and berries",
     "a hot air balloon festival over mountain valleys",
 ]
+
+
+def training_prompts_path() -> str:
+    """Packaged copy of the reference's 4k PickaPic training prompts."""
+    return os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "assets",
+        "4k_training_prompts.json",
+    )
 
 
 def _load_hf_prompts(source: str, split: Optional[str], caption_key: str):
@@ -77,6 +89,8 @@ class PromptDataset:
         :461-466``) or a local ``save_to_disk`` directory; requires
         network for hub names (this environment has none — pass a
         local export)."""
+        if json_path == "4k":  # the packaged reference training prompt set
+            json_path = training_prompts_path()
         if hf_dataset:
             self.prompts = _load_hf_prompts(hf_dataset, split, caption_key)
         elif json_path and os.path.exists(json_path):

@@ -213,6 +213,19 @@ class TestPromptData:
         assert len(ds) > 0
         assert isinstance(ds[0], str)
 
+    def test_packaged_4k_training_prompts(self):
+        """The reference's training prompt set (protocol data,
+        ``pso_pytorch/assets/4k_training_prompts.json``) ships with the
+        package and resolves via the "4k" shorthand."""
+        from pairwise_sample_optimization_tpu.data import training_prompts_path
+
+        import os
+
+        assert os.path.exists(training_prompts_path())
+        ds = PromptDataset("4k")
+        assert len(ds) == 4000
+        assert all(isinstance(p, str) and p for p in ds.prompts[:10])
+
     def test_json_dataset(self, tmp_path):
         p = tmp_path / "prompts.json"
         p.write_text('[{"caption": "a"}, {"caption": "b"}]')
