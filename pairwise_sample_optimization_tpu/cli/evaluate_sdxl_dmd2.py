@@ -65,7 +65,8 @@ def parse_args(argv=None):
     p.add_argument("--hps_path", default="",
                    help="HPS_v2_compressed.pt (open_clip format, auto-detected)")
     p.add_argument("--aesthetic_mlp_path", default="",
-                   help="sac+logos+ava1-l14-linearMSE.pth")
+                   help='sac+logos+ava1-l14-linearMSE.pth; "packaged" = '
+                        "the vendored released copy (rewards/assets)")
     p.add_argument("--aesthetic_clip_dir", default="",
                    help="HF CLIPModel dir/file (openai/clip-vit-large-patch14)")
     p.add_argument("--imagereward_path", default="",
@@ -206,10 +207,14 @@ def main(argv=None):
             )
         if args.aesthetic_mlp_path:
             from ..checkpoints import load_aesthetic_mlp
+            from ..rewards.aesthetic import packaged_mlp_path
 
-            aes.mlp_variables = load_aesthetic_mlp(
-                args.aesthetic_mlp_path, aes.mlp_variables
+            mlp_path = (
+                packaged_mlp_path()
+                if args.aesthetic_mlp_path == "packaged"
+                else args.aesthetic_mlp_path
             )
+            aes.mlp_variables = load_aesthetic_mlp(mlp_path, aes.mlp_variables)
             logger.info(
                 "loaded aesthetic MLP from %s", args.aesthetic_mlp_path
             )

@@ -28,6 +28,19 @@ class AestheticMLP(nn.Module):
         return x[..., 0]
 
 
+def packaged_mlp_path() -> str:
+    """The released LAION aesthetic-MLP checkpoint, vendored exactly as
+    the reference vendors it (``pso_pytorch/assets/sac+logos+ava1-l14-
+    linearMSE.pth``, reference ``aesthetic_scorer.py:38``)."""
+    import os
+
+    return os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "assets",
+        "sac+logos+ava1-l14-linearMSE.pth",
+    )
+
+
 class AestheticScorer:
     def __init__(
         self,
@@ -35,7 +48,11 @@ class AestheticScorer:
         mlp_variables=None,
         vision_config: Optional[CLIPVisionConfig] = None,
         key: Optional[jax.Array] = None,
+        use_packaged_mlp: bool = False,
     ):
+        """``use_packaged_mlp``: load the vendored released MLP weights
+        (``packaged_mlp_path()``; the CLIP-L tower still needs a local
+        checkpoint via ``checkpoints.load_clip_vision`` for real scores)."""
         self.vision_config = vision_config or CLIPVisionConfig.vit_l14()
         self.vision = CLIPVisionTower(self.vision_config)
         self.mlp = AestheticMLP()
@@ -47,6 +64,12 @@ class AestheticScorer:
             mlp_variables = self.mlp.init(
                 key, jnp.zeros((1, self.vision_config.projection_dim))
             )
+            if use_packaged_mlp:
+                from ..checkpoints import load_aesthetic_mlp
+
+                mlp_variables = load_aesthetic_mlp(
+                    packaged_mlp_path(), mlp_variables
+                )
         self.vision_variables = vision_variables
         self.mlp_variables = mlp_variables
         self._score = jax.jit(self._score_impl)

@@ -8,6 +8,7 @@ the same cross-implementation anchoring as ``test_torch_parity.py``.
 """
 
 import math
+import os
 from collections import OrderedDict
 
 import numpy as np
@@ -71,6 +72,36 @@ def test_aesthetic_mlp_port_matches_torch(tmp_path):
     variables = load_aesthetic_mlp(path, abstract)
     got = mlp.apply(variables, jnp.asarray(x))
     np.testing.assert_allclose(_np(got), want, atol=ATOL, rtol=RTOL)
+
+
+def test_packaged_aesthetic_mlp_loads():
+    """The vendored released checkpoint (rewards/assets) loads and
+    matches torch's forward on the same weights — the real released
+    bytes, not a synthesized layout."""
+    from pairwise_sample_optimization_tpu.rewards.aesthetic import (
+        AestheticMLP,
+        packaged_mlp_path,
+    )
+    from pairwise_sample_optimization_tpu.checkpoints import load_aesthetic_mlp
+
+    path = packaged_mlp_path()
+    assert os.path.exists(path)
+    mlp = AestheticMLP()
+    abstract = mlp.init(jax.random.key(0), jnp.zeros((1, 768)))
+    variables = load_aesthetic_mlp(path, abstract)
+
+    tmlp = _TorchAestheticMLP().eval()
+    tmlp.load_state_dict(
+        {k: v for k, v in torch.load(path, map_location="cpu", weights_only=True).items()}
+    )
+    x = np.random.default_rng(7).normal(size=(2, 768)).astype(np.float32)
+    with torch.no_grad():
+        want = tmlp(torch.from_numpy(x)).squeeze(1).numpy()
+    got = mlp.apply(variables, jnp.asarray(x))
+    np.testing.assert_allclose(_np(got), want, atol=ATOL, rtol=RTOL)
+    # released weights predict scores in the aesthetic 0-10 band for
+    # unit-norm-ish inputs; just pin finiteness + spread here
+    assert np.isfinite(_np(got)).all()
 
 
 # --------------------------------------------------------------------- #
