@@ -260,10 +260,15 @@ def main(argv=None):
                 "ImageReward needs --wordpiece_vocab (bert vocab.txt); skipping"
             )
 
-    encode = jax.jit(pipe.encode_prompt)
+    # weights enter as jit ARGUMENTS: jitting the bound methods would
+    # capture the towers as trace-time constants (zero-filled smoke
+    # weights would then constant-fold, and real weights risk HBM
+    # duplication in the executable)
+    encode = jax.jit(pipe.encode_prompt_v)
     generate = jax.jit(
-        lambda cond, keys: pipe.generate_dmd(
-            cond, None, num_steps=args.num_steps, sample_keys=keys
+        lambda uv, vv, cond, keys: pipe.generate_dmd(
+            cond, None, num_steps=args.num_steps, sample_keys=keys,
+            unet_variables=uv, vae_variables=vv,
         )
     )
 
@@ -280,13 +285,14 @@ def main(argv=None):
                 bs - len(batch_prompts)
             )
         cond = encode(
-            jnp.asarray(tok1(batch_prompts)), jnp.asarray(tok2(batch_prompts))
+            pipe.te1_variables, pipe.te2_variables,
+            jnp.asarray(tok1(batch_prompts)), jnp.asarray(tok2(batch_prompts)),
         )
         global_idx = jnp.asarray(
             [rank + n_proc * (start + j) for j in range(bs)], jnp.int32
         )
         keys = jax.vmap(lambda i: jax.random.fold_in(root_key, i))(global_idx)
-        images = generate(cond, keys)
+        images = generate(pipe.unet_variables, pipe.vae_variables, cond, keys)
         r_ids = jnp.asarray(tok_r(batch_prompts))
         for name, scorer in scorers.items():
             if name == "aesthetic":

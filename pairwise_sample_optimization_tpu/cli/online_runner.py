@@ -118,7 +118,17 @@ def run_online_pso(
     )
     remat_knob = config.get("activation_checkpoint", "full")
     _REMAT_MODES = ("full", "resnets", "dots", "lowres", "lowres_dots")
-    remat = remat_knob if remat_knob in _REMAT_MODES else bool(remat_knob)
+    if remat_knob in _REMAT_MODES:
+        remat = remat_knob
+    elif remat_knob in ("", "none", False, None, True):
+        # bools for schema compat; True means the default "full"
+        remat = "full" if remat_knob is True else False
+    else:
+        raise ValueError(
+            f"activation_checkpoint={remat_knob!r}: expected one of "
+            f"{_REMAT_MODES + ('', 'none')} (a typo here must not silently "
+            "run a different remat configuration)"
+        )
     if config.pretrained.model_dir:
         pipe = SDXLPipeline.from_torch_dir(
             config.pretrained.model_dir,
@@ -126,6 +136,9 @@ def run_online_pso(
             dtype=dtype,
             resolution=resolution,
             bpe_path=config.pretrained.bpe_path,
+            param_dtype=param_dtype,
+            remat=remat,
+            unet_attention_impl=config.kernels.get("unet_attention_impl", "") or None,
         )
     else:
         logger.warning("no pretrained model_dir -- random weights (smoke mode)")

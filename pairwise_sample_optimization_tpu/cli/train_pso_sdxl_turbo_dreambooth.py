@@ -303,10 +303,20 @@ def main(argv=None):
         tok1 = HashTokenizer(vocab_size=vs)
         tok2 = HashTokenizer(vocab_size=vs, pad_token_id=0)
 
-    encode_text = jax.jit(pipe.encode_prompt)
-    encode_image = jax.jit(
-        lambda px: pipe.vae.apply(pipe.vae_variables, px, method=pipe.vae.encode)
+    # weights as jit ARGUMENTS (a bound-method jit would capture the
+    # towers as trace-time constants: zero-filled smoke weights constant-
+    # fold; real weights risk HBM duplication in the executable)
+    _encode_text_v = jax.jit(pipe.encode_prompt_v)
+
+    def encode_text(i1, i2):
+        return _encode_text_v(pipe.te1_variables, pipe.te2_variables, i1, i2)
+
+    _encode_image_v = jax.jit(
+        lambda vv, px: pipe.vae.apply(vv, px, method=pipe.vae.encode)
     )
+
+    def encode_image(px):
+        return _encode_image_v(pipe.vae_variables, px)
     scaling = pipe.vae.config.scaling_factor
 
     # ---- data: instance images -> VAE moments (precomputed once) ----
@@ -328,7 +338,14 @@ def main(argv=None):
     neg_cond = encode_text(
         jnp.asarray(tok1([class_prompt])), jnp.asarray(tok2([class_prompt]))
     )
-    gen = jax.jit(lambda cond, key: pipe.generate(cond, key, num_steps=4))
+    _gen_v = jax.jit(
+        lambda uv, vv, cond, key: pipe.generate(
+            cond, key, num_steps=4, unet_variables=uv, vae_variables=vv
+        )
+    )
+
+    def gen(cond, key):
+        return _gen_v(pipe.unet_variables, pipe.vae_variables, cond, key)
 
     def generate_images(n, key0, note, batch_size=1):
         """n images in --sample_batch_size batches (one compile; the

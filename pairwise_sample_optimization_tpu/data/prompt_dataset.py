@@ -91,9 +91,19 @@ class PromptDataset:
         local export)."""
         if json_path == "4k":  # the packaged reference training prompt set
             json_path = training_prompts_path()
+            if not os.path.exists(json_path):
+                raise FileNotFoundError(
+                    f"packaged 4k prompt asset missing: {json_path} "
+                    "(broken install — data/assets not packaged?)"
+                )
         if hf_dataset:
             self.prompts = _load_hf_prompts(hf_dataset, split, caption_key)
-        elif json_path and os.path.exists(json_path):
+        elif json_path and not os.path.exists(json_path):
+            # an explicit path that does not resolve must NOT silently
+            # train on the builtin smoke prompts — the prompt set is the
+            # protocol
+            raise FileNotFoundError(f"prompt json not found: {json_path!r}")
+        elif json_path:
             with open(json_path) as f:
                 meta = json.load(f)
             if isinstance(meta, dict):

@@ -197,9 +197,10 @@ class SDXLPipeline:
         key: Optional[jax.Array] = None,
         tiny: bool = False,
         param_dtype=None,
-        remat: bool = False,
+        remat: bool | str = False,
         te_lora_rank: int = 0,
         use_dora: bool = False,
+        unet_attention_impl: str | None = None,
     ) -> "SDXLPipeline":
         """Port a local diffusers checkpoint directory (unet/, vae/,
         text_encoder/, text_encoder_2/ with .safetensors or .bin files)."""
@@ -214,6 +215,7 @@ class SDXLPipeline:
             remat=remat,
             te_lora_rank=te_lora_rank,
             use_dora=use_dora,
+            unet_attention_impl=unet_attention_impl,
         )
         n_unet_levels = len(pipe.unet_config.block_out_channels)
         n_vae_levels = len(pipe.vae.config.block_out_channels)

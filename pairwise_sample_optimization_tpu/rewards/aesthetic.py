@@ -60,6 +60,11 @@ class AestheticScorer:
         size = self.vision_config.image_size
         if vision_variables is None:
             vision_variables = self.vision.init(key, jnp.zeros((1, size, size, 3)))
+        if mlp_variables is not None and use_packaged_mlp:
+            raise ValueError(
+                "pass either mlp_variables or use_packaged_mlp, not both "
+                "(silently preferring one would mis-weight the scorer)"
+            )
         if mlp_variables is None:
             mlp_variables = self.mlp.init(
                 key, jnp.zeros((1, self.vision_config.projection_dim))

@@ -18,12 +18,18 @@ grep -v '^\s*#' "$QUEUE" | grep -v '^\s*$' | while read -r cmd; do
   for attempt in 1 2; do
     wait_healthy
     echo "=== $cmd (attempt $attempt) $(date +%H:%M:%S) ===" >> "$LOG"
-    timeout 5400 bash -c "$cmd" >> "$LOG" 2>&1
+    ATT_LOG=$(mktemp /tmp/ab_attempt.XXXXXX)
+    # </dev/null: a queued command must not drain the queue's stdin
+    timeout 5400 bash -c "$cmd" < /dev/null > "$ATT_LOG" 2>&1
     rc=$?
+    cat "$ATT_LOG" >> "$LOG"
     echo "--- exit $rc ---" >> "$LOG"
-    [ $rc -eq 0 ] && break
-    # OOMs are deterministic: don't retry those
-    tail -60 "$LOG" | grep -qE "Ran out of memory|RESOURCE_EXHAUSTED" && break
+    if [ $rc -eq 0 ]; then rm -f "$ATT_LOG"; break; fi
+    # OOMs are deterministic: don't retry those (scoped to THIS attempt)
+    if grep -qE "Ran out of memory|RESOURCE_EXHAUSTED" "$ATT_LOG"; then
+      rm -f "$ATT_LOG"; break
+    fi
+    rm -f "$ATT_LOG"
   done
 done
 echo "QUEUE DONE $(date +%H:%M:%S)" >> "$LOG"

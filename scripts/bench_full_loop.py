@@ -73,11 +73,13 @@ def main():
         make_optimizer,
     )
 
-    remat = (
-        REMAT
-        if REMAT in ("full", "resnets", "dots", "lowres", "lowres_dots")
-        else False
-    )
+    _REMAT_MODES = ("full", "resnets", "dots", "lowres", "lowres_dots")
+    if REMAT in _REMAT_MODES:
+        remat = REMAT
+    elif REMAT in ("none", ""):
+        remat = False
+    else:  # a typo must not silently measure a different configuration
+        raise SystemExit(f"PSO_REMAT={REMAT!r}: expected {_REMAT_MODES + ('none',)}")
     pipe = SDXLPipeline.random(
         lora_rank=32,
         dtype=jnp.bfloat16,
