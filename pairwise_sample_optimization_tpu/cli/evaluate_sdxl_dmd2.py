@@ -167,9 +167,12 @@ def main(argv=None):
     scorers = {}
 
     def _dual_scorer(cls, weight_path, name, **extra):
-        scorer = cls(
-            text_config=sc_text, vision_config=sc_vision, **sc_kwargs, **extra
-        )
+        kw = dict(sc_kwargs)
+        if weight_path and "fast_init" in kw:
+            # the strict loader replaces every leaf — minutes of random
+            # init on the 1-core host would be thrown away
+            kw["fast_init"] = True
+        scorer = cls(text_config=sc_text, vision_config=sc_vision, **kw, **extra)
         if weight_path:
             from ..checkpoints import load_hf_clip_dual
 
@@ -236,8 +239,10 @@ def main(argv=None):
                 context_length=35,
             )
         elif args.wordpiece_vocab and os.path.exists(args.wordpiece_vocab):
+            # fast zeros-init whenever the released weights replace every
+            # leaf anyway; real random init only for weightless smoke runs
             ir = ImageRewardScorer(
-                fast_init=not (args.model_dir or args.imagereward_path)
+                fast_init=bool(args.imagereward_path) or not args.model_dir
             )
             if args.imagereward_path:
                 from ..checkpoints import load_imagereward

@@ -443,7 +443,14 @@ def run_online_pso(
     )
     timer = PhaseTimer()
     history = []
-    root_key = jax.random.fold_in(jax.random.key(config.seed), jax.process_index())
+    # PROCESS-INVARIANT root key: every jitted program here runs SPMD over
+    # globally-sharded arrays, so all hosts must pass identical key args —
+    # a per-host fold would make train_epoch's shuffle compute a DIFFERENT
+    # permutation of the same global batch on each host (duplicating some
+    # samples, dropping others). Per-host decorrelation of the DATA (the
+    # reference's set_seed(device_specific=True)) comes from the
+    # PromptLoader's seed + process_index stream, not from this key.
+    root_key = jax.random.key(config.seed)
 
     from ..utils.timers import profile_to
 

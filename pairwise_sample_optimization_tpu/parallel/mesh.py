@@ -12,6 +12,7 @@ ICI collectives.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional, Sequence
 
 import jax
@@ -74,6 +75,14 @@ def replicate(mesh: Mesh, tree):
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
 
 
+@functools.lru_cache(maxsize=128)
+def _identity_jit(sharding: NamedSharding):
+    """Cached jitted identity for cross-host resharding: a fresh
+    ``jax.jit(lambda a: a)`` per call would defeat the jit cache and
+    retrace on every hot-loop reshard (slow remote compiler here)."""
+    return jax.jit(lambda a: a, out_shardings=sharding)
+
+
 def shard_global_batch(mesh: Mesh, tree, axis: int = 0):
     """Place a per-host batch pytree with batch ``axis`` sharded over ``data``.
 
@@ -82,9 +91,11 @@ def shard_global_batch(mesh: Mesh, tree, axis: int = 0):
     dimension is the concatenation over processes (the TPU-native
     equivalent of the reference's per-rank DataLoader shards under DDP,
     ``train_online_pso_sdxl_turbo.py:491-493``). Single-process it is a
-    plain ``device_put``. Leaves whose batch dim does not divide the
-    ``data`` axis size are replicated instead (correct, just not
-    parallel — tiny smoke configs hit this).
+    plain ``device_put``. Leaves whose global batch dim does not divide
+    the ``data`` axis size are replicated instead (correct, just not
+    parallel — tiny smoke configs hit this); multi-host, replication of
+    host-DIFFERENT inputs first all-gathers them so every host holds the
+    same true global value.
     """
     n = mesh.shape[DATA_AXIS]
     multi = jax.process_count() > 1
@@ -102,10 +113,18 @@ def shard_global_batch(mesh: Mesh, tree, axis: int = 0):
         if is_global:
             # e.g. a train_epoch slice of globally assembled samples:
             # reshard via a jitted identity (device_put can't cross hosts)
-            return jax.jit(lambda a: a, out_shardings=sharding)(x)
+            return _identity_jit(sharding)(x)
         if multi:
             from jax.experimental import multihost_utils
 
+            if spec == P() and b:
+                # replicated fallback for a HOST-LOCAL batched leaf:
+                # host_local_array_to_global_array with P() would treat
+                # each host's (different!) rows as the full global value
+                # — silently dropping the other hosts' rows. Build the
+                # true global batch on every host first.
+                gathered = multihost_utils.process_allgather(np.asarray(x))
+                x = np.concatenate(list(gathered), axis=axis)
             return multihost_utils.host_local_array_to_global_array(
                 np.asarray(x), mesh, spec
             )
@@ -139,5 +158,5 @@ def fetch_replicated(mesh: Mesh, x) -> np.ndarray:
     mesh all-gather over ICI) so multi-host shards become addressable."""
     if jax.process_count() == 1:
         return np.asarray(x)
-    rep = jax.jit(lambda a: a, out_shardings=replicated_sharding(mesh))(x)
+    rep = _identity_jit(replicated_sharding(mesh))(x)
     return np.asarray(rep)
