@@ -45,15 +45,19 @@ def main():
     config.run_name = f"mh_rank{os.environ['PSO_PROCESS_ID']}"
 
     dbg = {}
+    # 2 epochs: epoch-2 losses leave the on-policy log(2) anchor, so they
+    # are only host-identical if every SPMD program (incl. train_epoch's
+    # shuffle) ran with process-invariant keys over consistent global data
     _state, history = run_online_pso(
-        config, sampler="turbo", num_epochs=1, debug_out=dbg
+        config, sampler="turbo", num_epochs=2, debug_out=dbg
     )
     assert jax.process_count() == 2, jax.process_count()
     np.testing.assert_allclose(history[0]["loss"], np.log(2.0), rtol=1e-3)
     # per-host (1, 77) id batches became ONE global (2, 77) array sharded
     # over the 2-process data axis
     assert dbg["ids_sharding"].spec == P("data"), dbg["ids_sharding"]
-    print(f"WORKER_OK rank={jax.process_index()} loss={history[0]['loss']:.6f}")
+    losses = ",".join(f"{h['loss']:.9f}" for h in history)
+    print(f"WORKER_OK rank={jax.process_index()} losses={losses}")
 
 
 main()

@@ -193,6 +193,15 @@ def test_two_process_online_runner(tmp_path):
             p.kill()
         pytest.skip("distributed loopback timed out (environment limitation)")
     _skip_if_gloo_deadline(outs)
+    losses = {}
     for r, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"rank {r} failed:\n{out}"
         assert f"WORKER_OK rank={r}" in out, out
+        for line in out.splitlines():
+            if line.startswith(f"WORKER_OK rank={r}"):
+                losses[r] = line.split("losses=")[1]
+    # SPMD consistency: with process-invariant program keys over
+    # consistent global batches, BOTH ranks must compute bit-identical
+    # metric streams (epoch-2 losses leave the log(2) anchor, so this
+    # catches host-divergent shuffles/keys the anchor cannot)
+    assert losses[0] == losses[1], losses
