@@ -501,7 +501,11 @@ def run_online_pso(
                 )
                 if b_idx + 1 == config.sample.num_batches_per_epoch:
                     break
-            jax.block_until_ready(all_samples[-1]["log_probs"])
+            # value READBACK, not block_until_ready: through the axon
+            # tunnel block_until_ready can return before execution
+            # completes — only readback reliably syncs (phase timers
+            # would otherwise attribute sample time to the train phase)
+            fetch_replicated(mesh, all_samples[-1]["log_probs"])
 
         samples = jax.tree.map(lambda *xs: jnp.concatenate(xs, 0), *all_samples)
         cond = jax.tree.map(lambda *xs: jnp.concatenate(xs, 0), *all_cond)
@@ -540,7 +544,8 @@ def run_online_pso(
                 cond,
                 jax.random.fold_in(ekey, 1 << 20),
             )
-            jax.block_until_ready(state.lora)
+            # readback sync (see the sampling-phase note)
+            fetch_replicated(mesh, jax.tree.leaves(state.lora)[0])
         if offload_aux:
             aux_vars = move_to_memory_kind(aux_vars, "device")
             pipe.vae_variables = aux_vars["vae"]
