@@ -67,9 +67,14 @@ def main(argv=None):
             args.lora_path, pipe.unet_variables["lora"]
         )
 
-    if args.bpe_path and os.path.exists(args.bpe_path):
-        tok1 = CLIPTokenizer(args.bpe_path)
-        tok2 = CLIPTokenizer(args.bpe_path, pad_token_id=0)
+    bpe = args.bpe_path
+    if not bpe and pipe.te1.config.vocab_size == 49408:
+        from ..data.tokenizer import DEFAULT_BPE_PATH  # packaged vocab
+
+        bpe = DEFAULT_BPE_PATH
+    if bpe and os.path.exists(bpe):
+        tok1 = CLIPTokenizer(bpe)
+        tok2 = CLIPTokenizer(bpe, pad_token_id=0)
     else:
         vs = pipe.te1.config.vocab_size
         tok1 = HashTokenizer(vocab_size=vs)

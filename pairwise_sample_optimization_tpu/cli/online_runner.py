@@ -49,6 +49,13 @@ logger = get_logger("pso.online")
 
 def build_tokenizers(config, vocab_size: int = 49408):
     bpe = config.pretrained.bpe_path
+    if not bpe and vocab_size == 49408:
+        # full-size towers: the packaged standard CLIP vocab works out of
+        # the box (tiny models keep the HashTokenizer — their embedding
+        # tables are smaller than the real 49408-id space)
+        from ..data.tokenizer import DEFAULT_BPE_PATH
+
+        bpe = DEFAULT_BPE_PATH
     if bpe and os.path.exists(bpe):
         return (
             CLIPTokenizer(bpe),

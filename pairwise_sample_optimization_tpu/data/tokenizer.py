@@ -29,7 +29,21 @@ from typing import Iterable, List, Sequence
 import numpy as np
 import regex as re
 
-DEFAULT_BPE_PATH = os.environ.get("PSO_BPE_PATH", "")
+def _packaged_bpe_path() -> str:
+    """The standard CLIP ``bpe_simple_vocab_16e6.txt.gz`` ships with the
+    package (the reference vendors the identical file twice:
+    ``open_clip/bpe_simple_vocab_16e6.txt.gz`` and ``hps_bpe.txt.gz``) —
+    real tokenization works out of the box; ``PSO_BPE_PATH`` overrides."""
+    return os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "assets",
+        "bpe_simple_vocab_16e6.txt.gz",
+    )
+
+
+DEFAULT_BPE_PATH = os.environ.get("PSO_BPE_PATH", "") or (
+    _packaged_bpe_path() if os.path.exists(_packaged_bpe_path()) else ""
+)
 
 _TOKEN_PATTERN = re.compile(
     r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+""",

@@ -14,17 +14,10 @@ from pairwise_sample_optimization_tpu.native.build import (
 
 TINY_MERGES = ["c a", "ca t</w>", "d o", "do g</w>", "t h", "th e</w>"]
 
-REAL_VOCAB = next(
-    (
-        p
-        for p in [
-            os.environ.get("PSO_BPE_PATH", ""),
-            "/root/reference/human_preference_tuning/pso_pytorch/open_clip/bpe_simple_vocab_16e6.txt.gz",
-        ]
-        if p and os.path.exists(p)
-    ),
-    None,
-)
+from pairwise_sample_optimization_tpu.data.tokenizer import DEFAULT_BPE_PATH
+
+# packaged vocab (data/assets) unless PSO_BPE_PATH overrides
+REAL_VOCAB = DEFAULT_BPE_PATH if os.path.exists(DEFAULT_BPE_PATH or "") else None
 
 
 def _toolchain():

@@ -193,11 +193,11 @@ class TestTokenizer:
         standard 49152-merge vocab file."""
         import os
 
-        candidates = [
-            os.environ.get("PSO_BPE_PATH", ""),
-            "/root/reference/human_preference_tuning/pso_pytorch/open_clip/bpe_simple_vocab_16e6.txt.gz",
-        ]
-        path = next((p for p in candidates if p and os.path.exists(p)), None)
+        from pairwise_sample_optimization_tpu.data.tokenizer import (
+            DEFAULT_BPE_PATH,
+        )
+
+        path = DEFAULT_BPE_PATH if os.path.exists(DEFAULT_BPE_PATH or "") else None
         if path is None:
             pytest.skip("no standard CLIP BPE vocab available")
         tok = CLIPTokenizer(bpe_path=path)
