@@ -47,10 +47,13 @@ def dot_product_attention(
     impl: Impl | None = None,
 ) -> jnp.ndarray:
     """(B, S, H, D) attention; fp32 softmax accumulation."""
+    explicit = impl is not None  # an explicit impl= wins (A/B honesty):
+    # only the DEFAULT dispatch auto-reroutes to the flash kernel above
+    # the logits-bytes line where XLA cannot materialize the logits
     impl = impl or _DEFAULT_IMPL
     if impl == "pallas" and causal:
         impl = "xla"  # causal towers (CLIP text) use the XLA path
-    if impl == "xla" and not causal and _on_tpu():
+    if impl == "xla" and not causal and not explicit and _on_tpu():
         logits_bytes = 4 * q.shape[0] * q.shape[2] * q.shape[1] * k.shape[1]
         if logits_bytes >= _PALLAS_LOGITS_BYTES:
             impl = "pallas"

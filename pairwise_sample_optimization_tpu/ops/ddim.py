@@ -10,17 +10,12 @@ log density of the realized (or provided) transition.
 
 from __future__ import annotations
 
-import math
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 
-_LOG_SQRT_2PI = 0.5 * math.log(2.0 * math.pi)
-
-
-def _bcast(v, ndim):
-    return v.reshape(v.shape + (1,) * (ndim - 1))
+from .gaussian import bcast as _bcast, gaussian_logprob_mean
 
 
 def ddim_step_with_logprob(
@@ -87,11 +82,8 @@ def ddim_step_with_logprob(
     else:
         prev_sample = prev_sample.astype(jnp.float32)
 
+    # eta=0 makes the step deterministic (std 0): floor keeps the density
+    # finite there, matching the reference's practical use
     std_safe = jnp.maximum(std_b, 1e-12)
-    ll = (
-        -jnp.square(jax.lax.stop_gradient(prev_sample) - mean) / (2.0 * std_safe**2)
-        - jnp.log(std_safe)
-        - _LOG_SQRT_2PI
-    )
-    logprob = jnp.mean(ll.reshape(ll.shape[0], -1), axis=-1)
+    logprob = gaussian_logprob_mean(prev_sample, mean, std_safe)
     return prev_sample, logprob

@@ -13,16 +13,10 @@ with shape ``(1, C, H, W)`` — shared across the batch (``:121-126``).
 
 from __future__ import annotations
 
-import math
-
 import jax
 import jax.numpy as jnp
 
-_LOG_SQRT_2PI = 0.5 * math.log(2.0 * math.pi)
-
-
-def _bcast(v: jnp.ndarray, ndim: int) -> jnp.ndarray:
-    return v.reshape(v.shape + (1,) * (ndim - 1))
+from .gaussian import bcast as _bcast, gaussian_logprob_mean as _gaussian_logprob_mean
 
 
 def x0_from_eps(
@@ -44,15 +38,6 @@ def _prev_mean_std(alphas_cumprod, eps, timestep, prev_timestep, x_t):
     mean = _bcast(jnp.sqrt(a_prev), x_t.ndim) * pred_x0
     std = jnp.sqrt(1.0 - a_prev)  # (B,)
     return mean, std
-
-
-def _gaussian_logprob_mean(x, mean, std_b):
-    ll = (
-        -jnp.square(jax.lax.stop_gradient(x) - mean) / (2.0 * jnp.square(std_b))
-        - jnp.log(std_b)
-        - _LOG_SQRT_2PI
-    )
-    return jnp.mean(ll.reshape(ll.shape[0], -1), axis=-1)
 
 
 def distilled_step_with_logprob(

@@ -17,19 +17,11 @@ Semantics replicated exactly (the beta=50 DPO loss is sensitive to these):
 
 from __future__ import annotations
 
-import math
-
 import jax
 import jax.numpy as jnp
 
+from .gaussian import bcast as _bcast, gaussian_logprob_mean as _gaussian_logprob_mean
 from .schedules import EulerAncestralSchedule
-
-_LOG_SQRT_2PI = 0.5 * math.log(2.0 * math.pi)
-
-
-def _bcast(v: jnp.ndarray, ndim: int) -> jnp.ndarray:
-    """Reshape (B,) -> (B, 1, ..., 1) for broadcasting over sample dims."""
-    return v.reshape(v.shape + (1,) * (ndim - 1))
 
 
 def turbo_step_stats(schedule: EulerAncestralSchedule, step_index: jnp.ndarray):
@@ -54,16 +46,6 @@ def _prev_mean(schedule, eps, step_index, x_t):
     return mean, sigma_up
 
 
-def _gaussian_logprob_mean(x, mean, std_b, std):
-    """Mean-over-non-batch-dims Gaussian log density; std is (B,)."""
-    ll = (
-        -jnp.square(jax.lax.stop_gradient(x) - mean) / (2.0 * jnp.square(std_b))
-        - jnp.log(std_b)
-        - _LOG_SQRT_2PI
-    )
-    return jnp.mean(ll.reshape(ll.shape[0], -1), axis=-1)
-
-
 def turbo_step_with_logprob(
     schedule: EulerAncestralSchedule,
     eps: jnp.ndarray,
@@ -84,7 +66,7 @@ def turbo_step_with_logprob(
     noise = jax.random.normal(key, mean.shape, dtype=jnp.float32)
     sigma_up_b = _bcast(sigma_up, mean.ndim)
     x_prev = mean + noise * sigma_up_b
-    logprob = _gaussian_logprob_mean(x_prev, mean, sigma_up_b, sigma_up)
+    logprob = _gaussian_logprob_mean(x_prev, mean, sigma_up_b)
     return x_prev, logprob
 
 
@@ -99,7 +81,7 @@ def turbo_logprob(
     path of the online trainer, ref ``train_online_pso_sdxl_turbo.py:810-837``)."""
     mean, sigma_up = _prev_mean(schedule, eps, step_index, x_t)
     sigma_up_b = _bcast(sigma_up, mean.ndim)
-    return _gaussian_logprob_mean(x_prev.astype(jnp.float32), mean, sigma_up_b, sigma_up)
+    return _gaussian_logprob_mean(x_prev.astype(jnp.float32), mean, sigma_up_b)
 
 
 def scale_model_input(

@@ -99,10 +99,7 @@ def _norm_kernel(x_ref, stats_ref, scale_ref, bias_ref, o_ref, *, num_groups, ep
     o_ref[0] = (y * jax.nn.sigmoid(y)).astype(o_ref.dtype)
 
 
-import functools as _functools
-
-
-@_functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def fused_groupnorm_silu(
     x: jnp.ndarray,
     scale: jnp.ndarray,

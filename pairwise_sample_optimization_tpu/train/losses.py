@@ -4,7 +4,8 @@ Numerics replicated from the reference (the clamp-before-log order and the
 tie-handling of the comparators materially shape the gradient at beta=50):
 
 - ``sample_compare`` — per-sample random reward axis, ties favour
-  trajectory 0 ("a_dominates = a <= b"), reference
+  trajectory 1 ("a_dominates = a <= b" marks the tie as a-dominated,
+  i.e. the +1 goes to trajectory 1), reference
   ``train_online_pso_sdxl_turbo.py:401-416``;
 - ``pareto_compare`` — strict dominance, ties give a zero row (no
   gradient), reference ``train_online_pso_sdxl_dmd2.py:420-430``;

@@ -72,6 +72,13 @@ class OnlinePSOConfig:
                 "online PSO needs >= 2 sampling steps (the single step of a "
                 "1-step sampler is deterministic — nothing stochastic to train)"
             )
+        if self.num_train_timesteps and self.num_train_timesteps > self.num_steps - 1:
+            raise ValueError(
+                f"num_train_timesteps={self.num_train_timesteps} exceeds the "
+                f"{self.num_steps - 1} recorded stochastic transitions — "
+                "traced indexing would silently clamp and train the last "
+                "transition twice"
+            )
         if self.full_finetune and self.fuse_ref_pass:
             raise ValueError(
                 "full_finetune needs fuse_ref_pass=False: policy and reference "
@@ -167,6 +174,24 @@ class OnlinePSOTrainer:
         if cfg.sampler == "turbo":
             traj = sample_turbo_trajectories(eps_fn, self.schedule, init, k_step)
         else:
+            tn = None
+            if cfg.shared_noise:
+                # reference parity: each trajectory of the pair is a
+                # SEPARATE pipeline call there, so the (1,C,H,W)
+                # batch-shared re-noise draw differs BETWEEN the pair's
+                # trajectories (``distilled_inference_with_logprob.py
+                # :121-126``; two sequential generator draws). One draw
+                # over the whole 2B batch would correlate the pair far
+                # beyond the reference (more Pareto ties, weaker signal).
+                k_step, k_tn = jax.random.split(k_step)
+                hw, c = self.latent_hw, self.latent_channels
+                s = cfg.num_steps - 1
+                tn = jax.random.normal(
+                    k_tn, (s, 2, 1, hw, hw, c), dtype=jnp.float32
+                )
+                tn = jnp.broadcast_to(tn, (s, 2, b, hw, hw, c)).reshape(
+                    s, 2 * b, hw, hw, c
+                )
             traj = sample_dmd_trajectories(
                 eps_fn,
                 self.alphas_cumprod,
@@ -174,6 +199,7 @@ class OnlinePSOTrainer:
                 init,
                 k_step,
                 shared_noise=cfg.shared_noise,
+                transition_noise=tn,
             )
 
         t_axis = cfg.num_steps - 1  # trained transitions

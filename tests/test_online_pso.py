@@ -247,6 +247,45 @@ def test_sample_pairs_aux_variables():
     )
 
 
+def test_dmd_pair_shared_noise_per_trajectory():
+    """Reference parity for the DMD shared-noise quirk at PAIR level: each
+    trajectory is a separate pipeline call in the reference, so the
+    batch-shared (1,C,H,W) re-noise draw must be shared WITHIN a
+    trajectory's batch but DIFFER between the pair's two trajectories
+    (``distilled_inference_with_logprob.py:121-126``)."""
+    from pairwise_sample_optimization_tpu.ops.ddpm_renoise import _prev_mean_std
+    from pairwise_sample_optimization_tpu.ops.schedules import make_alphas_cumprod
+
+    cfg = OnlinePSOConfig(sampler="dmd", num_steps=3, train_batch_size=2)
+    trainer = OnlinePSOTrainer(
+        cfg,
+        lambda v, x, t, cond, s: jnp.zeros_like(x),  # eps = 0: mean is closed-form
+        make_optimizer(),
+        latent_hw=4,
+    )
+    cond = {"embeds": jnp.zeros((2, 1, 8))}
+    samples, _ = trainer.sample_pairs({}, cond, None, jax.random.key(3))
+
+    acp = make_alphas_cumprod()
+    ratio = 1000 // cfg.num_steps
+    noise = np.zeros((2, 2, cfg.num_steps - 1, 4, 4, 4), np.float32)
+    for b in range(2):
+        for traj in range(2):
+            for j in range(cfg.num_steps - 1):
+                t = samples["timesteps"][b, j][None]
+                x = samples["latents"][b, traj, j][None]
+                mean, std = _prev_mean_std(
+                    acp, jnp.zeros_like(x), t, t - ratio, x
+                )
+                noise[b, traj, j] = np.asarray(
+                    (samples["next_latents"][b, traj, j] - mean[0]) / std[0]
+                )
+    # shared within each trajectory's batch...
+    np.testing.assert_allclose(noise[0], noise[1], atol=1e-5)
+    # ...but distinct between the two trajectories of the pair
+    assert np.abs(noise[:, 0] - noise[:, 1]).max() > 0.1
+
+
 def test_shuffle_preserves_transition_alignment():
     """After shuffling, (latents[j], next_latents[j], step_indices[j]) must
     still be a consistent transition triple — verified via the log-prob
