@@ -9,6 +9,7 @@ from .torch_names import (
     blip_bert_param_map,
 )
 from .convert import (
+    refresh_dora_magnitudes,
     torch_to_flax,
     flax_to_torch,
     load_torch_state_dict,
@@ -34,6 +35,7 @@ __all__ = [
     "vae_param_map",
     "clip_text_param_map",
     "clip_vision_param_map",
+    "refresh_dora_magnitudes",
     "torch_to_flax",
     "flax_to_torch",
     "load_torch_state_dict",

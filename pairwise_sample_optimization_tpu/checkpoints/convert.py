@@ -39,9 +39,25 @@ def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
         from safetensors import safe_open
 
         out = {}
-        with safe_open(path, framework="numpy") as f:
-            for k in f.keys():
-                out[k] = f.get_tensor(k)
+        try:
+            with safe_open(path, framework="numpy") as f:
+                for k in f.keys():
+                    out[k] = f.get_tensor(k)
+        except (TypeError, ValueError):
+            # the numpy framework cannot represent bfloat16 tensors; some
+            # SDXL-family releases ship bf16 safetensors — route through
+            # torch (cpu) and upcast, mirroring the .pt branch below
+            import torch
+
+            out = {}
+            with safe_open(path, framework="pt") as f:
+                for k in f.keys():
+                    v = f.get_tensor(k)
+                    out[k] = (
+                        v.float().numpy()
+                        if v.dtype == torch.bfloat16
+                        else v.numpy()
+                    )
         return out
     import torch
 
@@ -142,3 +158,31 @@ def flax_to_torch(
 
     jax.tree_util.tree_map_with_path(emit, params)
     return out
+
+
+def refresh_dora_magnitudes(params, lora):
+    """Recompute every DoRA ``magnitude`` leaf from its (freshly ported)
+    kernel's column norms.
+
+    ``LoRADense`` initializes ``magnitude = ||W||_col`` at init() time —
+    from the RANDOM kernel. After a weight port swaps ``params`` the
+    stale magnitudes would rescale every adapted projection by
+    ``||W_random||/||W_loaded||`` (peft's DoRA initializes magnitude from
+    the PRETRAINED weight, so the adapter must be a no-op at step 0).
+    """
+
+    def walk(lora_node, params_node):
+        if not isinstance(lora_node, dict):
+            return lora_node
+        out = {}
+        for k, v in lora_node.items():
+            if k == "magnitude":
+                kernel = params_node["kernel"]
+                out[k] = jnp.linalg.norm(
+                    jnp.asarray(kernel, jnp.float32), axis=0
+                ).astype(v.dtype)
+            else:
+                out[k] = walk(v, params_node.get(k, {}) if isinstance(params_node, dict) else {})
+        return out
+
+    return walk(lora, params)

@@ -92,7 +92,7 @@ def unet_param_map(path: Tuple[str, ...], n_levels: int = 3) -> Tuple[str, Kind]
     return key, kind
 
 
-def _vae_block(path0: str, n_levels: int, decoder: bool) -> str:
+def _vae_block(path0: str, n_levels: int) -> str:
     m = re.fullmatch(r"down_(\d+)_resnet_(\d+)", path0)
     if m:
         return f"down_blocks.{m.group(1)}.resnets.{m.group(2)}"
@@ -121,7 +121,7 @@ def vae_param_map(path: Tuple[str, ...], n_levels: int = 4) -> Tuple[str, Kind]:
         rest = _inner(tuple(mods[1:]))
     else:
         tower = mods[0]  # encoder | decoder
-        head = tower + "." + _vae_block(mods[1], n_levels, tower == "decoder")
+        head = tower + "." + _vae_block(mods[1], n_levels)
         rest = _inner(tuple(mods[2:]))
     suffix, kind = _leaf(leaf, path[-2] if len(path) > 1 else "")
     key = ".".join(x for x in (head, rest) if x) + "." + suffix

@@ -202,7 +202,9 @@ def main(argv=None):
         scorers["hps"] = _dual_scorer(HPSScorer, args.hps_path, "HPSv2")
     if "aesthetic" in wanted:
         aes = AestheticScorer(
-            vision_config=CLIPVisionConfig.tiny() if args.tiny else None
+            vision_config=CLIPVisionConfig.tiny() if args.tiny else None,
+            # the loader replaces the CLIP-L tower leaf-for-leaf
+            fast_init=bool(args.aesthetic_clip_dir),
         )
         if args.aesthetic_clip_dir:
             from ..checkpoints import load_clip_vision

@@ -137,9 +137,9 @@ class BertEncoder(nn.Module):
         mask = attention_mask.astype(bool) if attention_mask is not None else None
         context = None
         if encoder_hidden_states is not None:
+            # width mismatch vs hidden is fine: cross-attn projects the
+            # context through its own key/value denses
             context = encoder_hidden_states.astype(cfg.dtype)
-            if cfg.encoder_width != cfg.hidden:
-                pass  # cross-attn projects via its own key/value denses
         for i in range(cfg.layers):
             x = _BertLayer(cfg, name=f"layer_{i}")(x, context=context, mask=mask)
         return x

@@ -23,7 +23,11 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from .checkpoints.convert import load_torch_state_dict, torch_to_flax
+from .checkpoints.convert import (
+    load_torch_state_dict,
+    refresh_dora_magnitudes,
+    torch_to_flax,
+)
 from .checkpoints.torch_names import (
     clip_text_param_map,
     unet_param_map,
@@ -250,6 +254,14 @@ class SDXLPipeline:
             sd = load_torch_state_dict(path)
             params, _ = torch_to_flax(sd, variables["params"], nm, strict=True)
             variables["params"] = params
+            if use_dora and "lora" in variables:
+                # DoRA magnitudes were initialized from the RANDOM kernels
+                # at init time; refresh to ||W_loaded||_col so the adapter
+                # is a no-op at step 0 (peft initializes magnitude from
+                # the pretrained weight)
+                variables["lora"] = refresh_dora_magnitudes(
+                    variables["params"], variables["lora"]
+                )
         return pipe
 
     # ------------------------------------------------------------------ #

@@ -49,17 +49,27 @@ class AestheticScorer:
         vision_config: Optional[CLIPVisionConfig] = None,
         key: Optional[jax.Array] = None,
         use_packaged_mlp: bool = False,
+        fast_init: bool = False,
     ):
         """``use_packaged_mlp``: load the vendored released MLP weights
         (``packaged_mlp_path()``; the CLIP-L tower still needs a local
-        checkpoint via ``checkpoints.load_clip_vision`` for real scores)."""
+        checkpoint via ``checkpoints.load_clip_vision`` for real scores).
+        ``fast_init``: zeros from eval_shape instead of a real random init
+        of the ~300M-param CLIP-L tower — use when loaders replace every
+        leaf anyway."""
         self.vision_config = vision_config or CLIPVisionConfig.vit_l14()
         self.vision = CLIPVisionTower(self.vision_config)
         self.mlp = AestheticMLP()
         key = key if key is not None else jax.random.key(0)
         size = self.vision_config.image_size
         if vision_variables is None:
-            vision_variables = self.vision.init(key, jnp.zeros((1, size, size, 3)))
+            init = lambda: self.vision.init(key, jnp.zeros((1, size, size, 3)))
+            if fast_init:
+                vision_variables = jax.tree.map(
+                    lambda s: jnp.zeros(s.shape, s.dtype), jax.eval_shape(init)
+                )
+            else:
+                vision_variables = init()
         if mlp_variables is not None and use_packaged_mlp:
             raise ValueError(
                 "pass either mlp_variables or use_packaged_mlp, not both "
@@ -77,14 +87,22 @@ class AestheticScorer:
                 )
         self.vision_variables = vision_variables
         self.mlp_variables = mlp_variables
-        self._score = jax.jit(self._score_impl)
+        # variables are explicit jit ARGUMENTS (not closure captures): a
+        # bound-method jit would bake the towers in as trace-time
+        # constants, so weight loading after a warmup call would be
+        # silently ignored (PickScoreScorer has the same contract)
+        self._score = jax.jit(self._score_v)
+
+    def _score_v(self, vision_variables, mlp_variables, images):
+        pixels = clip_preprocess(images, self.vision_config.image_size)
+        embed = self.vision.apply(vision_variables, pixels)
+        embed = embed / jnp.linalg.norm(embed, axis=-1, keepdims=True)
+        return self.mlp.apply(mlp_variables, embed)
 
     def _score_impl(self, images):
-        pixels = clip_preprocess(images, self.vision_config.image_size)
-        embed = self.vision.apply(self.vision_variables, pixels)
-        embed = embed / jnp.linalg.norm(embed, axis=-1, keepdims=True)
-        return self.mlp.apply(self.mlp_variables, embed)
+        """Inlineable (non-jit) version for callers composing programs."""
+        return self._score_v(self.vision_variables, self.mlp_variables, images)
 
     def score(self, images):
         """images (B, H, W, 3) in [-1, 1] -> aesthetic score (B,)."""
-        return self._score(images)
+        return self._score(self.vision_variables, self.mlp_variables, images)

@@ -80,20 +80,34 @@ class ImageRewardScorer:
         self.vit_variables = vit_variables
         self.bert_variables = bert_variables
         self.mlp_variables = mlp_variables
-        self._score = jax.jit(self._score_impl)
+        # variables as explicit jit ARGUMENTS (not closure constants) so
+        # weight loading after a warmup call takes effect — the
+        # PickScoreScorer contract
+        self._score = jax.jit(self._score_v)
 
-    def _score_impl(self, images, input_ids, attention_mask):
+    def _score_v(self, vit_variables, bert_variables, mlp_variables,
+                 images, input_ids, attention_mask):
         pixels = clip_preprocess(images, self.vit_config.image_size)
-        img_tokens = self.vit.apply(self.vit_variables, pixels)
+        img_tokens = self.vit.apply(vit_variables, pixels)
         txt = self.bert.apply(
-            self.bert_variables,
+            bert_variables,
             input_ids,
             attention_mask,
             img_tokens,
         )
-        raw = self.mlp.apply(self.mlp_variables, txt[:, 0].astype(jnp.float32))
+        raw = self.mlp.apply(mlp_variables, txt[:, 0].astype(jnp.float32))
         return (raw - self.mean) / self.std
+
+    def _score_impl(self, images, input_ids, attention_mask):
+        """Inlineable (non-jit) version for callers composing programs."""
+        return self._score_v(
+            self.vit_variables, self.bert_variables, self.mlp_variables,
+            images, input_ids, attention_mask,
+        )
 
     def score(self, images, input_ids, attention_mask):
         """images (B,H,W,3) in [-1,1]; ids/mask from WordPieceTokenizer."""
-        return self._score(images, input_ids, attention_mask)
+        return self._score(
+            self.vit_variables, self.bert_variables, self.mlp_variables,
+            images, input_ids, attention_mask,
+        )

@@ -102,6 +102,10 @@ class PickScoreScorer:
     # --- scoring ---
 
     def _score_v(self, variables, images, input_ids, softmax: bool = False):
+        """``softmax=True`` normalizes across the BATCH dim — only
+        meaningful when every row shares one prompt (the reference's
+        per-prompt candidate ranking, ``pickscore_utils.py:56-60``);
+        on mixed-prompt batches it mixes unrelated pairs."""
         img = self._image_features_v(variables, images)
         txt = self._text_features_v(variables, input_ids)
         scores = jnp.sum(txt * img, axis=-1)  # diag(text @ image^T)

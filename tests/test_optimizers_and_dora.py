@@ -133,6 +133,40 @@ def test_dora_init_is_identity():
     )
 
 
+def test_dora_magnitude_refresh_after_weight_port():
+    """Swapping the kernel (a torch weight port) without refreshing the
+    magnitude rescales every column by ||W_random||/||W_loaded|| — the
+    adapter must instead stay a no-op at step 0 (peft initializes
+    magnitude from the PRETRAINED weight)."""
+    from pairwise_sample_optimization_tpu.checkpoints import (
+        refresh_dora_magnitudes,
+    )
+
+    layer, variables, x = _dora_layer()
+    # "port": a different kernel replaces the random-init one
+    new_kernel = jax.random.normal(jax.random.key(9), variables["params"]["kernel"].shape)
+    new_params = dict(variables["params"], kernel=new_kernel)
+
+    stale = layer.apply({"params": new_params, "lora": variables["lora"]}, x)
+    base = _dora_layer(use_dora=False)[0]
+    want = base.apply(
+        {"params": new_params,
+         "lora": {k: v for k, v in variables["lora"].items() if k != "magnitude"}},
+        x,
+    )
+    # stale magnitudes corrupt the ported weights...
+    assert np.abs(np.asarray(stale) - np.asarray(want)).max() > 1e-3
+    # ...refresh restores the no-op-at-step-0 identity
+    fresh_lora = refresh_dora_magnitudes(new_params, variables["lora"])
+    got = layer.apply({"params": new_params, "lora": fresh_lora}, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(fresh_lora["magnitude"]),
+        np.linalg.norm(np.asarray(new_kernel), axis=0),
+        rtol=1e-6,
+    )
+
+
 def test_dora_matches_hand_formula_and_grads_flow():
     layer, variables, x = _dora_layer()
     lora = dict(variables["lora"])
