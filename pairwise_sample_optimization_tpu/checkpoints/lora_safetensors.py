@@ -62,6 +62,13 @@ def export_lora_safetensors(
         names = tuple(x.key for x in p)
         site, ab = names[:-1], names[-1]
         key = prefix + _site_key(site, n_levels, site_map) + "." + _PEFT_SUFFIX[ab]
+        if (
+            hasattr(leaf, "is_fully_addressable")
+            and not leaf.is_fully_addressable
+        ):
+            # multi-host REPLICATED leaf: every host holds a full copy —
+            # read the local shard (np.asarray would raise)
+            leaf = leaf.addressable_data(0)
         # contiguous copy: safetensors writes raw buffers, not strided views
         out[key] = np.ascontiguousarray(
             np.asarray(leaf, np.float32).T  # (in,r)->(r,in), (r,out)->(out,r)

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..checkpoints import import_lora_safetensors
-from ..data import CLIPTokenizer, HashTokenizer, PromptDataset
+from ..data import PromptDataset
 from ..models.clip import CLIPTextConfig, CLIPVisionConfig
 from ..parallel.collectives import round_robin_gather
 from ..pipeline import SDXLPipeline
@@ -99,7 +99,10 @@ def main(argv=None):
     dataset = PromptDataset(
         args.prompts_json or None,
         caption_key=args.caption_column,
-        split=args.split if args.hf_dataset else None,
+        # --split applies to dict-of-splits prompt JSONs (the PickaPic
+        # test_unique export layout) as well as HF datasets; plain-list
+        # JSONs ignore it inside PromptDataset
+        split=args.split if (args.hf_dataset or args.prompts_json) else None,
         hf_dataset=args.hf_dataset or None,
     )
     prompts = dataset.prompts
@@ -142,20 +145,11 @@ def main(argv=None):
     else:
         pipe.decode_chunk = args.vae_decode_chunk
 
-    bpe = args.bpe_path
-    if not bpe and pipe.te1.config.vocab_size == 49408:
-        from ..data.tokenizer import DEFAULT_BPE_PATH  # packaged vocab
+    from ..data import make_clip_tokenizers
 
-        bpe = DEFAULT_BPE_PATH
-    if bpe and os.path.exists(bpe):
-        tok1 = CLIPTokenizer(bpe)
-        tok2 = CLIPTokenizer(bpe, pad_token_id=0)
-        tok_r = CLIPTokenizer(bpe)
-    else:
-        vs = pipe.te1.config.vocab_size
-        tok1 = HashTokenizer(vocab_size=vs)
-        tok2 = HashTokenizer(vocab_size=vs, pad_token_id=0)
-        tok_r = HashTokenizer(vocab_size=vs)
+    tok1, tok2, tok_r = make_clip_tokenizers(
+        args.bpe_path, pipe.te1.config.vocab_size, with_reward=True
+    )
 
     if args.gelu_exact:
         from ..models.layers import set_gelu_exact

@@ -18,7 +18,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..checkpoints import import_lora_safetensors
-from ..data import CLIPTokenizer, HashTokenizer
 from ..pipeline import SDXLPipeline
 from ..utils import get_logger
 
@@ -67,18 +66,9 @@ def main(argv=None):
             args.lora_path, pipe.unet_variables["lora"]
         )
 
-    bpe = args.bpe_path
-    if not bpe and pipe.te1.config.vocab_size == 49408:
-        from ..data.tokenizer import DEFAULT_BPE_PATH  # packaged vocab
+    from ..data import make_clip_tokenizers
 
-        bpe = DEFAULT_BPE_PATH
-    if bpe and os.path.exists(bpe):
-        tok1 = CLIPTokenizer(bpe)
-        tok2 = CLIPTokenizer(bpe, pad_token_id=0)
-    else:
-        vs = pipe.te1.config.vocab_size
-        tok1 = HashTokenizer(vocab_size=vs)
-        tok2 = HashTokenizer(vocab_size=vs, pad_token_id=0)
+    tok1, tok2 = make_clip_tokenizers(args.bpe_path, pipe.te1.config.vocab_size)
 
     cond = pipe.encode_prompt(
         jnp.asarray(tok1(args.prompt)), jnp.asarray(tok2(args.prompt))

@@ -24,7 +24,7 @@ from ..checkpoints import (
     save_train_state,
 )
 from ..checkpoints.orbax_io import prune_checkpoints
-from ..data import CLIPTokenizer, HashTokenizer, PromptDataset, PromptLoader
+from ..data import PromptDataset, PromptLoader
 from ..models.clip import CLIPTextConfig, CLIPVisionConfig
 from ..parallel.mesh import (
     MeshSpec,
@@ -48,28 +48,10 @@ logger = get_logger("pso.online")
 
 
 def build_tokenizers(config, vocab_size: int = 49408):
-    bpe = config.pretrained.bpe_path
-    if not bpe and vocab_size == 49408:
-        # full-size towers: the packaged standard CLIP vocab works out of
-        # the box (tiny models keep the HashTokenizer — their embedding
-        # tables are smaller than the real 49408-id space)
-        from ..data.tokenizer import DEFAULT_BPE_PATH
+    from ..data import make_clip_tokenizers
 
-        bpe = DEFAULT_BPE_PATH
-    if bpe and os.path.exists(bpe):
-        return (
-            CLIPTokenizer(bpe),
-            CLIPTokenizer(bpe, pad_token_id=0),
-            CLIPTokenizer(bpe),
-        )
-    logger.warning(
-        "no BPE vocab at %r -- using HashTokenizer (random-weight smoke mode)",
-        bpe,
-    )
-    return (
-        HashTokenizer(vocab_size=vocab_size),
-        HashTokenizer(vocab_size=vocab_size, pad_token_id=0),
-        HashTokenizer(vocab_size=vocab_size),
+    return make_clip_tokenizers(
+        config.pretrained.bpe_path, vocab_size, with_reward=True
     )
 
 
@@ -329,13 +311,21 @@ def run_online_pso(
     # the frozen reference copy then lives in pipe.unet_variables["params"])
     trainable = pipe.unet_variables["params"] if full_ft else pipe.unet_variables["lora"]
     state = PSOTrainState.create(trainable, tx)
+    start_epoch = 0
     if config.resume_from:
         ckpt = latest_checkpoint(config.resume_from)
         if ckpt:
             state, extra = restore_train_state(
                 ckpt, jax.eval_shape(lambda: state), {"epoch": 0}
             )
-            logger.info("resumed from %s (step %d)", ckpt, int(state.step))
+            # continue the epoch numbering: restarting at 0 would replay
+            # the epoch-keyed RNG streams (sampling noise, shuffles) and
+            # prompt permutations of already-trained epochs
+            start_epoch = int(extra.get("epoch", 0)) + 1
+            logger.info(
+                "resumed from %s (step %d, epoch %d)",
+                ckpt, int(state.step), start_epoch,
+            )
     # trainable + optimizer state replicated (the DDP-equivalent part) —
     # or width-sharded in step with the TP params; grad reduction over
     # ``data`` comes from the sharded update batches
@@ -464,8 +454,13 @@ def run_online_pso(
     epochs = num_epochs if num_epochs is not None else config.num_epochs
     global_step = int(state.step)
     profile_dir = config.get("profile_dir", "")
-    for epoch in range(epochs):
-        trace_cm = profile_to(profile_dir if epoch == 1 else None)
+    # trace the SECOND epoch when there is one (epoch 0 pays the
+    # compiles); a single-epoch run still gets its trace
+    profile_epoch = start_epoch + (1 if epochs > 1 else 0)
+    # num_epochs counts epochs run by THIS invocation; under resume the
+    # epoch INDEX continues from the checkpoint (fresh RNG streams)
+    for epoch in range(start_epoch, start_epoch + epochs):
+        trace_cm = profile_to(profile_dir if epoch == profile_epoch else None)
         trace_cm.__enter__()
         ekey = jax.random.fold_in(root_key, epoch)
         # ---------------- sampling ----------------
@@ -571,8 +566,12 @@ def run_online_pso(
             if config.checkpointing_steps and (
                 global_step % config.checkpointing_steps == 0 or global_step == 1
             ):
+                # orbax save is COLLECTIVE for multi-host global arrays:
+                # every process must enter it (a rank-0-only save would
+                # hang at orbax's cross-process barrier); host-side
+                # artifacts (LoRA export, pruning) stay on process 0
+                path = save_train_state(out_dir, global_step, state, {"epoch": epoch})
                 if jax.process_index() == 0:
-                    path = save_train_state(out_dir, global_step, state, {"epoch": epoch})
                     if not full_ft:
                         # diffusers-interop LoRA export beside the orbax dir
                         lora_dir = os.path.join(out_dir, f"lora-{global_step}")

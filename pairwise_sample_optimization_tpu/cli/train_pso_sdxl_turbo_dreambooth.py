@@ -42,9 +42,8 @@ from ..checkpoints import (
     restore_train_state,
     save_train_state,
 )
-from ..data import CLIPTokenizer, HashTokenizer
 from ..data.dreambooth import DreamBoothDataset
-from ..models.sdxl_text import compute_time_ids
+from ..models.sdxl_text import compute_time_ids, time_ids_from_records
 from ..pipeline import SDXLPipeline
 from ..train import PSOTrainState
 from ..train.db_validation import (
@@ -295,18 +294,9 @@ def main(argv=None):
             use_dora=args.use_dora, remat=remat,
         )
 
-    bpe = args.bpe_path
-    if not bpe and pipe.te1.config.vocab_size == 49408:
-        from ..data.tokenizer import DEFAULT_BPE_PATH  # packaged vocab
+    from ..data import make_clip_tokenizers
 
-        bpe = DEFAULT_BPE_PATH
-    if bpe and os.path.exists(bpe):
-        tok1 = CLIPTokenizer(bpe)
-        tok2 = CLIPTokenizer(bpe, pad_token_id=0)
-    else:
-        vs = pipe.te1.config.vocab_size
-        tok1 = HashTokenizer(vocab_size=vs)
-        tok2 = HashTokenizer(vocab_size=vs, pad_token_id=0)
+    tok1, tok2 = make_clip_tokenizers(args.bpe_path, pipe.te1.config.vocab_size)
 
     # weights as jit ARGUMENTS (a bound-method jit would capture the
     # towers as trace-time constants: zero-filled smoke weights constant-
@@ -332,6 +322,10 @@ def main(argv=None):
     )
     inst_px = jnp.asarray(np.stack(dataset.pixel_values))
     inst_mean, inst_logvar = encode_image(inst_px)
+    # per-view SDXL micro-conditioning recorded by the dataset
+    inst_time_pool = time_ids_from_records(
+        dataset.original_sizes, dataset.crop_top_lefts, args.resolution
+    )
 
     # ---- total steps (reference epochs->steps math :1638-1650) ----
     per_step = args.train_batch_size * args.gradient_accumulation_steps
@@ -367,7 +361,8 @@ def main(argv=None):
         return out[:n]
 
     negs = generate_images(
-        args.num_negatives, jax.random.key(args.seed + 1), "negatives"
+        args.num_negatives, jax.random.key(args.seed + 1), "negatives",
+        batch_size=args.sample_batch_size,
     )
     neg_px = jnp.asarray(np.stack(negs))
     num_neg_pool = args.num_negatives
@@ -412,6 +407,9 @@ def main(argv=None):
         class_px = jnp.asarray(np.stack(class_ds.pixel_values))
         num_class_pool = len(class_ds)
         class_mean, class_logvar = encode_image(class_px)
+        class_time_pool = time_ids_from_records(
+            class_ds.original_sizes, class_ds.crop_top_lefts, args.resolution
+        )
 
     # ---- prompt encoding for the trainer ----
     def encode_with_te_lora(te_params, te_loras, ids1, ids2):
@@ -609,10 +607,23 @@ def main(argv=None):
             )
         else:
             win_lat = microbatched(inst_lat)
+        # per-image SDXL micro-conditioning (reference collate records
+        # original_size + crop_top_left per view): the win half carries
+        # the dataset's coordinates, the lose half the generator's
+        # defaults (negatives are self-generated at the target size)
+        tw_inst = inst_time_pool[inst_idx]
+        if use_prior:
+            time_ids_win = win_half(tw_inst, class_time_pool[class_idx])
+        else:
+            time_ids_win = microbatched(tw_inst)
         batch = {
             "instance_latents": win_lat,
             "negative_latents": microbatched(
                 draw_latents(neg_mean, neg_logvar, neg_idx, kn)
+            ),
+            "time_ids_win": time_ids_win,
+            "time_ids_lose": microbatched(
+                compute_time_ids(n_neg, args.resolution)
             ),
         }
         if args.train_text_encoder:

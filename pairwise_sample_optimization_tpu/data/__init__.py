@@ -1,4 +1,9 @@
-from .tokenizer import CLIPTokenizer, HashTokenizer, DEFAULT_BPE_PATH
+from .tokenizer import (
+    CLIPTokenizer,
+    HashTokenizer,
+    DEFAULT_BPE_PATH,
+    make_clip_tokenizers,
+)
 from .prompt_dataset import PromptDataset, PromptLoader, training_prompts_path
 from .prompts import PROMPT_FNS, get_prompt_fn
 from .stat_tracking import PerPromptStatTracker
@@ -7,6 +12,7 @@ __all__ = [
     "CLIPTokenizer",
     "HashTokenizer",
     "DEFAULT_BPE_PATH",
+    "make_clip_tokenizers",
     "PromptDataset",
     "training_prompts_path",
     "PromptLoader",

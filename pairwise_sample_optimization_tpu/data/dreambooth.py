@@ -97,17 +97,21 @@ class DreamBoothDataset:
         rng = np.random.default_rng(seed)
         for p in paths * repeats:
             src = _load_image(p)
-            variants = (
-                [_resize_crop(src, resolution, None)]
-                if center_crop
-                else [_resize_crop(src, resolution, rng) for _ in range(aug_pool)]
-            )
-            for arr, orig, crop in variants:
-                views = [arr]
-                if random_flip:
-                    views.append(arr[:, ::-1])
-                for v in views:
-                    self.pixel_values.append(to_model_range(np.ascontiguousarray(v)))
+            # flip BEFORE crop (the reference transform order), so the
+            # recorded crop_top_left is measured on the flipped image —
+            # SDXL's micro-conditioning coordinates must match the view
+            # the model actually sees
+            sources = [src] + ([src[:, ::-1]] if random_flip else [])
+            for s in sources:
+                variants = (
+                    [_resize_crop(s, resolution, None)]
+                    if center_crop
+                    else [_resize_crop(s, resolution, rng) for _ in range(aug_pool)]
+                )
+                for arr, orig, crop in variants:
+                    self.pixel_values.append(
+                        to_model_range(np.ascontiguousarray(arr))
+                    )
                     self.original_sizes.append(orig)
                     self.crop_top_lefts.append(crop)
 

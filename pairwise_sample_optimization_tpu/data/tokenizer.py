@@ -217,6 +217,12 @@ class CLIPTokenizer:
             lib, handle = self._native
             ids: List[int] = []
             for token in _TOKEN_PATTERN.findall(_clean(text)):
+                if token in (self.sot_text, self.eot_text):
+                    # literal special tokens: the python path resolves
+                    # them via the cache; the native merge engine would
+                    # byte-map them into ordinary subwords
+                    ids.append(self.encoder[token])
+                    continue
                 raw = token.encode("utf-8")
                 n = lib.pso_tok_encode_word(
                     handle, raw, len(raw), self._native_buf, 512
@@ -251,3 +257,36 @@ class CLIPTokenizer:
             ids = [self.sot] + self.encode(text)[: self.context_length - 2] + [self.eot]
             out[i, : len(ids)] = ids
         return out
+
+
+def make_clip_tokenizers(
+    bpe_path: str = "",
+    vocab_size: int = 49408,
+    with_reward: bool = False,
+):
+    """The CLIs' shared tokenizer recipe: dual CLIP tokenizers (TE2 pads
+    with 0) from ``bpe_path``, falling back to the packaged standard
+    vocab for full-size towers, else HashTokenizers (random-weight smoke
+    mode — tiny models' embedding tables are smaller than the real
+    49408-id space). Returns (tok1, tok2[, reward_tok])."""
+    bpe = bpe_path
+    if not bpe and vocab_size == 49408:
+        bpe = DEFAULT_BPE_PATH
+    if bpe and os.path.exists(bpe):
+        toks = (CLIPTokenizer(bpe), CLIPTokenizer(bpe, pad_token_id=0))
+        if with_reward:
+            toks = toks + (CLIPTokenizer(bpe),)
+        return toks
+    import logging
+
+    logging.getLogger("pso.data").warning(
+        "no BPE vocab at %r -- using HashTokenizer (random-weight smoke mode)",
+        bpe,
+    )
+    toks = (
+        HashTokenizer(vocab_size=vocab_size),
+        HashTokenizer(vocab_size=vocab_size, pad_token_id=0),
+    )
+    if with_reward:
+        toks = toks + (HashTokenizer(vocab_size=vocab_size),)
+    return toks

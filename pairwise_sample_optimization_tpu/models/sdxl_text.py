@@ -58,3 +58,23 @@ def compute_time_ids(
         jnp.float32,
     )
     return jnp.tile(row[None], (batch, 1))
+
+
+def time_ids_from_records(original_sizes, crop_top_lefts, target_size: int):
+    """(N, 6) per-image add_time_ids from dataset records.
+
+    ``original_sizes``/``crop_top_lefts`` are sequences of (h, w)/(top,
+    left) — the SDXL micro-conditioning a DreamBooth dataset records per
+    augmentation view (reference ``train_pso_sdxl_turbo_dreambooth.py``
+    collate; the per-image coordinates are what lets SDXL avoid
+    crop/framing artifacts)."""
+    import numpy as np
+
+    rows = np.asarray(
+        [
+            (oh, ow, ct, cl, target_size, target_size)
+            for (oh, ow), (ct, cl) in zip(original_sizes, crop_top_lefts)
+        ],
+        np.float32,
+    )
+    return jnp.asarray(rows)

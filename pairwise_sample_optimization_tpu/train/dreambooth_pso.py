@@ -224,6 +224,17 @@ class DreamBoothPSOTrainer:
             unet_params = params
             cond = batch["cond"]
         cond2 = jax.tree.map(lambda x: jnp.concatenate([x, x], axis=0), cond)
+        if "time_ids_win" in batch:
+            # per-image SDXL micro-conditioning: the win half carries the
+            # dataset's recorded (original_size, crop_top_left) per view,
+            # the lose half the generator's defaults (reference passes
+            # per-image add_time_ids through its collate)
+            cond2 = dict(
+                cond2,
+                time_ids=jnp.concatenate(
+                    [batch["time_ids_win"], batch["time_ids_lose"]], axis=0
+                ),
+            )
 
         idx = sample_lattice_timesteps(
             k_t, b, cfg.num_train_timesteps, cfg.distill_train_timesteps

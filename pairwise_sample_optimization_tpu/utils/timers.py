@@ -11,6 +11,27 @@ from typing import Dict
 import jax
 
 
+def _readback_sync(tree) -> None:
+    """Synchronize on device work via VALUE READBACK of one leaf: through
+    the axon tunnel ``jax.block_until_ready`` can return before execution
+    completes — only readback reliably syncs (CLAUDE.md timing gotcha).
+    Falls back to block_until_ready for non-addressable (multi-host
+    global) arrays, where a readback would need a collective."""
+    import numpy as np
+
+    for leaf in jax.tree.leaves(tree):
+        if hasattr(leaf, "is_fully_addressable") and not leaf.is_fully_addressable:
+            jax.block_until_ready(leaf)
+        elif hasattr(leaf, "ndim"):
+            # ONE-element readback: a full-array np.asarray ships the
+            # whole buffer through the tunnel and corrupts the timing
+            np.asarray(leaf[(0,) * leaf.ndim])
+        else:
+            jax.block_until_ready(leaf)
+        return  # one leaf is enough: programs complete in dispatch order
+    return
+
+
 class PhaseTimer:
     """Accumulates wall-time per named phase (sample / reward / update)."""
 
@@ -25,7 +46,7 @@ class PhaseTimer:
             yield
         finally:
             if block_on is not None:
-                jax.block_until_ready(block_on)
+                _readback_sync(block_on)
             dt = time.perf_counter() - t0
             self.totals[name] += dt
             self.counts[name] += 1

@@ -38,7 +38,9 @@ def main():
     config.train.batch_size = 1  # per host -> global update batch 2
     config.train.gradient_accumulation_steps = 1
     config.train.lora_rank = 2
-    config.checkpointing_steps = 0  # rank-0-only orbax save is not collective
+    # exercise the COLLECTIVE orbax save (every process must enter it;
+    # a rank-0-only save hangs at orbax's cross-process barrier)
+    config.checkpointing_steps = 2
     config.validation_steps = 0
     config.val_max_prompts = 2
     config.output_dir = os.environ["PSO_TEST_OUT"]

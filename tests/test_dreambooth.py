@@ -52,6 +52,45 @@ def _make(loss_type="pso_db", prior=0.5, **cfg_kwargs):
     return trainer, variables, batch
 
 
+def test_per_half_time_ids_reach_the_unet():
+    """SDXL micro-conditioning: per-image time_ids in the batch must
+    change the UNet conditioning (win half = dataset records, lose half
+    = generator defaults) — and be a no-op when they equal the cond's."""
+    trainer, variables, batch = _make()
+    base_tid = batch["cond"]["time_ids"]
+
+    def loss_of(b):
+        # fresh state + fresh leaf copies per call: update() donates its
+        # state argument (including the lora leaves it references)
+        lora = jax.tree.map(jnp.array, variables["lora"])
+        state = PSOTrainState.create(lora, trainer.tx)
+        _, aux = trainer.update(state, variables["params"], b, jax.random.key(7))
+        return float(aux["loss"])
+
+    same = loss_of({**batch, "time_ids_win": base_tid, "time_ids_lose": base_tid})
+    np.testing.assert_allclose(same, loss_of(batch), rtol=1e-6)
+    shifted = jnp.tile(jnp.array([[1024.0, 768, 37, 91, 512, 512]]), (B, 1))
+    different = loss_of(
+        {**batch, "time_ids_win": shifted, "time_ids_lose": base_tid}
+    )
+    assert abs(different - same) > 1e-6
+
+
+def test_time_ids_from_records():
+    from pairwise_sample_optimization_tpu.models.sdxl_text import (
+        time_ids_from_records,
+    )
+
+    rows = time_ids_from_records([(768, 1024), (512, 512)], [(10, 20), (0, 0)], 512)
+    np.testing.assert_array_equal(
+        np.asarray(rows),
+        np.array(
+            [[768, 1024, 10, 20, 512, 512], [512, 512, 0, 0, 512, 512]],
+            np.float32,
+        ),
+    )
+
+
 def test_sigma_table():
     sig = make_sigma_table()
     assert sig.shape == (1000,)

@@ -52,6 +52,10 @@ def test_real_vocab_parity_and_golden():
         "the quick brown fox jumps over the lazy dog!",
         "café über straße 123",
         "supercalifragilisticexpialidocious antidisestablishmentarianism",
+        # literal special tokens must resolve to their single ids on
+        # BOTH paths (the native engine would otherwise byte-map them)
+        "a cat <|endoftext|> dog",
+        "<|startoftext|> hello",
     ]
     for t in texts:
         assert py.encode(t) == nat.encode(t), t
