@@ -10,6 +10,7 @@ from .torch_names import (
 )
 from .convert import (
     refresh_dora_magnitudes,
+    reinit_lora_a,
     torch_to_flax,
     flax_to_torch,
     load_torch_state_dict,
@@ -36,6 +37,7 @@ __all__ = [
     "clip_text_param_map",
     "clip_vision_param_map",
     "refresh_dora_magnitudes",
+    "reinit_lora_a",
     "torch_to_flax",
     "flax_to_torch",
     "load_torch_state_dict",

@@ -160,6 +160,26 @@ def flax_to_torch(
     return out
 
 
+def reinit_lora_a(lora, key):
+    """Re-randomize LoRA ``a`` leaves (normal, std 1/r — LoRADense's
+    init) after a zeros fast-init: a == 0 AND b == 0 is a PERMANENTLY
+    dead adapter (both gradients vanish: dL/da ~ b and dL/db ~ a)."""
+    counter = [0]
+
+    def f(path, leaf):
+        name = path[-1].key if hasattr(path[-1], "key") else None
+        if name == "a" and getattr(leaf, "ndim", 0) == 2:
+            r = leaf.shape[-1]
+            counter[0] += 1
+            k = jax.random.fold_in(key, counter[0])
+            return (jax.random.normal(k, leaf.shape, jnp.float32) / r).astype(
+                leaf.dtype
+            )
+        return leaf
+
+    return jax.tree_util.tree_map_with_path(f, lora)
+
+
 def refresh_dora_magnitudes(params, lora):
     """Recompute every DoRA ``magnitude`` leaf from its (freshly ported)
     kernel's column norms.

@@ -123,6 +123,9 @@ def main(argv=None):
             lora_rank=args.lora_rank,
             resolution=args.resolution,
             bpe_path=args.bpe_path,
+            # the full SDXL + scorer weight set only fits a 16GB chip in
+            # half precision (same as the smoke branch below)
+            param_dtype=jnp.bfloat16,
         )
     else:
         logger.warning("no --model_dir: random weights (protocol smoke mode)")

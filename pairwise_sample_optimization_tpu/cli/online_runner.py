@@ -227,7 +227,9 @@ def run_online_pso(
         shared_noise=bool(config.sample.get("shared_noise", True)),
         num_train_timesteps=train_timesteps,
         # full finetune runs policy/ref as separate applies (different weights)
-        fuse_ref_pass=bool(config.train.get("fuse_ref_pass", True)) and not full_ft,
+        # fallback matches the config's measured default (unfused is ~27%
+        # faster end-to-end; a trimmed config must not silently regress)
+        fuse_ref_pass=bool(config.train.get("fuse_ref_pass", False)) and not full_ft,
         full_finetune=full_ft,
     )
     tx = make_optimizer(

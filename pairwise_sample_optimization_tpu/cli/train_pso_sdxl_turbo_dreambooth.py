@@ -285,6 +285,9 @@ def main(argv=None):
             te_lora_rank=te_lora_rank,
             use_dora=args.use_dora,
             remat=remat,
+            # frozen towers in bf16 storage (16GB chip; LoRA masters
+            # stay fp32 via lora_param_dtype)
+            param_dtype=jnp.bfloat16,
         )
     else:
         logger.warning("no --pretrained_model_dir: random weights (smoke mode)")
@@ -414,18 +417,19 @@ def main(argv=None):
     # ---- prompt encoding for the trainer ----
     def encode_with_te_lora(te_params, te_loras, ids1, ids2):
         """Re-encode prompts with live TE LoRA (gradients flow)."""
-        out1 = pipe.te1.apply(
-            {"params": te_params["te1"], "lora": te_loras["te1"]}, ids1
-        )
-        out2 = pipe.te2.apply(
-            {"params": te_params["te2"], "lora": te_loras["te2"]}, ids2
-        )
-        embeds = jnp.concatenate(
-            [out1["penultimate"], out2["penultimate"]], axis=-1
+        from ..models.sdxl_text import encode_sdxl_prompt
+
+        embeds, pooled = encode_sdxl_prompt(
+            pipe.te1,
+            {"params": te_params["te1"], "lora": te_loras["te1"]},
+            pipe.te2,
+            {"params": te_params["te2"], "lora": te_loras["te2"]},
+            ids1,
+            ids2,
         )
         return {
             "embeds": embeds,
-            "pooled": out2["projected"],
+            "pooled": pooled,
             "time_ids": compute_time_ids(ids1.shape[0], args.resolution),
         }
 

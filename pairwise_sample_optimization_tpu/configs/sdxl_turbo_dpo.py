@@ -135,6 +135,8 @@ def get_config():
     # data/assets/4k_training_prompts.json); "" = builtin smoke set
     config.prompt_json = ""
     config.prompt_fn = "simple_animals"  # legacy registry (unused by default)
+    # reference-inert like the reference itself: its trainers instantiate
+    # Selectors directly (:455-458); the runner hardwires PickScore too
     config.reward_fn = "pick_score"
 
     # ---- stat tracking (DDPO heritage; off for PSO) ----

@@ -167,7 +167,6 @@ class CLIPTokenizer:
                     handle = lib.pso_tok_create(blob, len(blob))
                     if lib.pso_tok_vocab_size(handle) == self.vocab_size:
                         self._native = (lib, handle)
-                        self._native_buf = (ctypes.c_int32 * 512)()
                     else:  # defensive: never serve mismatched ids
                         lib.pso_tok_destroy(handle)
             except Exception:
@@ -214,7 +213,13 @@ class CLIPTokenizer:
     def encode(self, text: str) -> List[int]:
         """Raw BPE ids without special tokens or padding."""
         if self._native is not None:
+            import ctypes
+
             lib, handle = self._native
+            # per-CALL output buffer: a shared per-tokenizer buffer would
+            # be racy across threads (ctypes releases the GIL; the C++
+            # cache itself is mutex-guarded)
+            buf = (ctypes.c_int32 * 512)()
             ids: List[int] = []
             for token in _TOKEN_PATTERN.findall(_clean(text)):
                 if token in (self.sot_text, self.eot_text):
@@ -224,14 +229,12 @@ class CLIPTokenizer:
                     ids.append(self.encoder[token])
                     continue
                 raw = token.encode("utf-8")
-                n = lib.pso_tok_encode_word(
-                    handle, raw, len(raw), self._native_buf, 512
-                )
+                n = lib.pso_tok_encode_word(handle, raw, len(raw), buf, 512)
                 if n < 0:  # oversized/unexpected word: python fallback
                     mapped = "".join(self.byte_encoder[b] for b in raw)
                     ids.extend(self.encoder[t] for t in self._bpe(mapped).split(" "))
                 else:
-                    ids.extend(self._native_buf[:n])
+                    ids.extend(buf[:n])
             return ids
         ids = []
         for token in _TOKEN_PATTERN.findall(_clean(text)):

@@ -11,6 +11,7 @@
 
 #include <cstdint>
 #include <cstring>
+#include <mutex>
 #include <string>
 #include <unordered_map>
 #include <vector>
@@ -70,6 +71,10 @@ struct Tokenizer {
     std::unordered_map<std::string, int32_t> bpe_ranks;  // "A B" -> rank
     ByteTable byte_map = byte_to_unicode();
     std::unordered_map<std::string, std::vector<int32_t>> cache;
+    // ctypes releases the GIL during calls: the cache is the only
+    // mutable state, so guard it (uncontended lock cost is noise next
+    // to the merge loop)
+    std::mutex cache_mu;
 };
 
 std::vector<std::string> split_lines(const char* blob, size_t len) {
@@ -124,12 +129,15 @@ int32_t pso_tok_encode_word(void* handle, const char* word, size_t len,
                             int32_t* out, int32_t max_out) {
     auto* tok = static_cast<Tokenizer*>(handle);
     std::string key(word, len);
-    auto hit = tok->cache.find(key);
-    if (hit != tok->cache.end()) {
-        int32_t n = static_cast<int32_t>(hit->second.size());
-        if (n > max_out) return -1;
-        std::memcpy(out, hit->second.data(), n * sizeof(int32_t));
-        return n;
+    {
+        std::lock_guard<std::mutex> lock(tok->cache_mu);
+        auto hit = tok->cache.find(key);
+        if (hit != tok->cache.end()) {
+            int32_t n = static_cast<int32_t>(hit->second.size());
+            if (n > max_out) return -1;
+            std::memcpy(out, hit->second.data(), n * sizeof(int32_t));
+            return n;
+        }
     }
 
     // initial symbols: byte-mapped chars, last one with </w>
@@ -174,7 +182,10 @@ int32_t pso_tok_encode_word(void* handle, const char* word, size_t len,
         if (it == tok->encoder.end()) return -2;  // should be impossible
         ids.push_back(it->second);
     }
-    tok->cache.emplace(std::move(key), ids);
+    {
+        std::lock_guard<std::mutex> lock(tok->cache_mu);
+        tok->cache.emplace(std::move(key), ids);
+    }
     int32_t n = static_cast<int32_t>(ids.size());
     if (n > max_out) return -1;
     std::memcpy(out, ids.data(), n * sizeof(int32_t));

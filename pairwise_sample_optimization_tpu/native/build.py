@@ -29,9 +29,12 @@ def build_bpe_library(force: bool = False) -> Optional[str]:
     """Compile bpe.cpp -> libpso_bpe.so; returns the path or None."""
     out = os.path.join(_build_dir(), _LIB_NAME)
     src = os.path.join(_HERE, "bpe.cpp")
-    if os.path.exists(out) and not force:
-        if not force and os.path.getmtime(out) >= os.path.getmtime(src):
-            return out
+    if (
+        os.path.exists(out)
+        and not force
+        and os.path.getmtime(out) >= os.path.getmtime(src)
+    ):
+        return out
     try:
         os.makedirs(_build_dir(), exist_ok=True)
         subprocess.run(

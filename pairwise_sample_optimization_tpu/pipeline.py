@@ -26,6 +26,7 @@ import jax.numpy as jnp
 from .checkpoints.convert import (
     load_torch_state_dict,
     refresh_dora_magnitudes,
+    reinit_lora_a,
     torch_to_flax,
 )
 from .checkpoints.torch_names import (
@@ -151,7 +152,9 @@ class SDXLPipeline:
             t1cfg = dataclasses.replace(t1cfg, lora_use_dora=True)
             t2cfg = dataclasses.replace(t2cfg, lora_use_dora=True)
 
-        latent_hw = resolution // 8
+        # latent size from the VAE depth (matches the latent_downscale
+        # property; 8 for SDXL's 4-level VAE, 2^(levels-1) in general)
+        latent_hw = resolution // (2 ** (len(vcfg.block_out_channels) - 1))
         unet = SDXLUNet(ucfg)
         unet_vars = init_fn(unet)(
             ks[0],
@@ -207,7 +210,14 @@ class SDXLPipeline:
         unet_attention_impl: str | None = None,
     ) -> "SDXLPipeline":
         """Port a local diffusers checkpoint directory (unet/, vae/,
-        text_encoder/, text_encoder_2/ with .safetensors or .bin files)."""
+        text_encoder/, text_encoder_2/ with .safetensors or .bin files).
+
+        Towers are zero-filled via eval_shape (``fast_init``) since the
+        strict port replaces every params leaf anyway — the full random
+        init of the 2.6B UNet costs minutes on the 1-core host; LoRA
+        ``a`` leaves are then re-randomized (a zeros-init adapter would
+        be permanently gradient-dead) and DoRA magnitudes re-derived
+        from the PORTED kernels."""
         pipe = cls.random(
             lora_rank=lora_rank,
             dtype=dtype,
@@ -220,6 +230,7 @@ class SDXLPipeline:
             te_lora_rank=te_lora_rank,
             use_dora=use_dora,
             unet_attention_impl=unet_attention_impl,
+            fast_init=True,
         )
         n_unet_levels = len(pipe.unet_config.block_out_channels)
         n_vae_levels = len(pipe.vae.config.block_out_channels)
@@ -247,13 +258,20 @@ class SDXLPipeline:
             ("text_encoder", pipe.te1_variables, clip_text_param_map),
             ("text_encoder_2", pipe.te2_variables, clip_text_param_map),
         ]
-        for sub, variables, nm in loads:
+        lora_key = jax.random.fold_in(
+            key if key is not None else jax.random.key(0), 17
+        )
+        for i, (sub, variables, nm) in enumerate(loads):
             path = find_weights(sub)
             if path is None or variables is None:
                 continue
             sd = load_torch_state_dict(path)
             params, _ = torch_to_flax(sd, variables["params"], nm, strict=True)
             variables["params"] = params
+            if "lora" in variables:
+                variables["lora"] = reinit_lora_a(
+                    variables["lora"], jax.random.fold_in(lora_key, i)
+                )
             if use_dora and "lora" in variables:
                 # DoRA magnitudes were initialized from the RANDOM kernels
                 # at init time; refresh to ||W_loaded||_col so the adapter

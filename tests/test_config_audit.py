@@ -39,6 +39,11 @@ PARITY_INERT = {
     # legacy prompt-closure registry (reference prompts.py, unused by its
     # current trainers; the registry itself is implemented + tested)
     "prompt_fn",
+    # reference-inert: config.reward_fn selects from the closure registry
+    # but the reference's own online trainers instantiate their Selectors
+    # directly (train_online_pso_sdxl_turbo.py:455-458) — as does the
+    # runner (PickScore hardwired); the registry is implemented + tested
+    "reward_fn",
 }
 
 
