@@ -3,13 +3,25 @@
 The decoder's 3x3 convs are the headline bench's ceiling-setter (62% of
 step time, ~63% of bf16 MXU peak — BENCHMARKS.md); the v5e MXU runs
 int8 at 2x the bf16 rate (microbenched 178-190 TOP/s vs 133 TF/s on
-these shapes, scripts/microbench_vae.py). This path quantizes
-per-call: activations per-tensor symmetric (dynamic max), weights
-per-output-channel symmetric, accumulate in int32, dequantize into the
-bias add. It is an accuracy/throughput TRADE (decoded pixels shift by
-~1e-2-class relative error) and therefore OFF by default — enable via
-``kernels.int8_vae_decode`` / ``set_use_int8_decode`` for
+these shapes, scripts/microbench_vae.py). This path quantizes per-call:
+
+- SmoothQuant-style outlier migration (Xiao et al., arXiv 2211.10438):
+  each input channel's activation range is equalized into the weights
+  before quantization — ``conv(x/m_c, W*m_c) == conv(x, W)`` exactly for
+  a per-input-channel scale, so the migration is free and only the
+  quantization grids change. GroupNorm's per-channel affine makes
+  decoder activations channel-heteroscedastic; migrating that spread
+  into the (per-output-channel-scaled) weights is where the accuracy
+  comes from.
+- activations per-SAMPLE symmetric (dynamic max over H,W,C) — decode
+  batches interleave two trajectories whose ranges differ;
+- weights per-output-channel symmetric;
+- int32 accumulation, dequantize into the bias add.
+
+It remains an accuracy/throughput TRADE and is OFF by default — enable
+via ``kernels.int8_vae_decode`` / ``set_use_int8_decode`` for
 throughput-oriented sampling; never used in the UNet or the scorers.
+Image-level qualification numbers: BENCHMARKS.md ("Known headroom").
 """
 
 from __future__ import annotations
@@ -37,22 +49,40 @@ def int8_conv2d(
     bias: jnp.ndarray | None = None,
     stride: int = 1,
     padding: tuple = ((1, 1), (1, 1)),
+    smooth_alpha: float | None = 0.5,
 ) -> jnp.ndarray:
     """Dynamic-int8 conv: x (B,H,W,C), kernel (kh,kw,C,O) HWIO.
 
-    y = conv(q(x), q(W)) * (s_x * s_w[o]) + bias, int32 accumulation.
+    y = conv(q(x/m), q(W*m)) * (s_x[b] * s_w[o]) + bias, int32
+    accumulation. ``smooth_alpha`` balances the outlier migration
+    (0 = all spread stays in activations, 1 = all moved to weights);
+    ``None`` disables migration (the per-tensor/per-channel grids are
+    then exact on integer-representable inputs — see tests).
     """
     xf = x.astype(jnp.float32)
     kf = kernel.astype(jnp.float32)
-    s_x = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-8) / 127.0
+    if smooth_alpha is not None:
+        a_c = jnp.max(jnp.abs(xf), axis=(0, 1, 2))  # (C,) activation range
+        w_c = jnp.max(jnp.abs(kf), axis=(0, 1, 3))  # (C,) weight range
+        m = jnp.power(jnp.maximum(a_c, 1e-8), smooth_alpha) * jnp.power(
+            jnp.maximum(w_c, 1e-8), smooth_alpha - 1.0
+        )
+        # channels the activations never use keep m=1 (avoid inflating
+        # the weight grid for a channel that contributes nothing)
+        m = jnp.where(a_c > 0, m, 1.0)
+        xf = xf / m
+        kf = kf * m[None, None, :, None]
+    s_x = jnp.maximum(jnp.max(jnp.abs(xf), axis=(1, 2, 3)), 1e-8) / 127.0  # (B,)
     s_w = jnp.maximum(jnp.max(jnp.abs(kf), axis=(0, 1, 2)), 1e-8) / 127.0  # (O,)
-    xq = jnp.clip(jnp.round(xf / s_x), -127, 127).astype(jnp.int8)
+    xq = jnp.clip(jnp.round(xf / s_x[:, None, None, None]), -127, 127).astype(
+        jnp.int8
+    )
     wq = jnp.clip(jnp.round(kf / s_w), -127, 127).astype(jnp.int8)
     acc = lax.conv_general_dilated(
         xq, wq, (stride, stride), padding,
         dimension_numbers=_DN, preferred_element_type=jnp.int32,
     )
-    y = acc.astype(jnp.float32) * (s_x * s_w)
+    y = acc.astype(jnp.float32) * (s_x[:, None, None, None] * s_w)
     if bias is not None:
         y = y + bias.astype(jnp.float32)
     return y.astype(x.dtype)

@@ -17,18 +17,19 @@ def _int8_off_after():
 
 def test_int8_conv_exact_on_representable_values():
     """Integer-valued inputs/weights within [-127,127] scale ranges are
-    quantized losslessly -> the int8 conv must be EXACT."""
+    quantized losslessly -> the int8 conv (migration off) must be EXACT."""
     x = jnp.asarray(
         np.random.default_rng(0).integers(-127, 128, (2, 6, 6, 4)), jnp.float32
     )
     k = jnp.asarray(
         np.random.default_rng(1).integers(-127, 128, (3, 3, 4, 5)), jnp.float32
     )
-    # scales: max|x|=127 -> s=1; per-channel kernel max 127 -> s=1
+    # scales: per-SAMPLE max|x|=127 -> s=1; per-channel kernel max 127 -> s=1
     x = x.at[0, 0, 0, 0].set(127.0)
+    x = x.at[1, 0, 0, 0].set(-127.0)
     k = k.at[0, 0, 0].set(127.0)
     b = jnp.arange(5, dtype=jnp.float32)
-    got = qconv.int8_conv2d(x, k, b)
+    got = qconv.int8_conv2d(x, k, b, smooth_alpha=None)
     want = jax.lax.conv_general_dilated(
         x, k, (1, 1), ((1, 1), (1, 1)), dimension_numbers=("NHWC", "HWIO", "NHWC")
     ) + b
@@ -44,6 +45,40 @@ def test_int8_conv_close_on_random():
     )
     err = float(jnp.max(jnp.abs(got - want)) / jnp.max(jnp.abs(want)))
     assert err < 0.05, err  # dynamic per-tensor/per-channel int8 error band
+
+
+def test_smoothquant_migration_beats_plain_on_outlier_channels():
+    """GroupNorm-affine-style channel spread: one activation channel 50x
+    hotter than the rest. The outlier migration must (a) stay exactly
+    equivalent in fp (conv(x/m, W*m) == conv(x, W)) and (b) cut the
+    quantization error materially vs the unsmoothed grid."""
+    key = jax.random.key(0)
+    x = jax.random.normal(key, (2, 8, 8, 16))
+    x = x.at[..., 3].mul(50.0)  # hot channel
+    k = jax.random.normal(jax.random.key(1), (3, 3, 16, 8)) * 0.1
+    want = jax.lax.conv_general_dilated(
+        x, k, (1, 1), ((1, 1), (1, 1)), dimension_numbers=("NHWC", "HWIO", "NHWC")
+    )
+    err_plain = float(jnp.sqrt(jnp.mean(
+        (qconv.int8_conv2d(x, k, smooth_alpha=None) - want) ** 2)))
+    err_smooth = float(jnp.sqrt(jnp.mean(
+        (qconv.int8_conv2d(x, k, smooth_alpha=0.5) - want) ** 2)))
+    assert err_smooth < 0.5 * err_plain, (err_smooth, err_plain)
+
+
+def test_per_sample_activation_scales():
+    """A batch mixing a hot and a cold image must quantize each on its
+    own grid: the cold image's error matches a solo-batch quantization
+    of itself, not the hot image's grid."""
+    cold = jax.random.normal(jax.random.key(0), (1, 8, 8, 16))
+    hot = cold * 100.0
+    k = jax.random.normal(jax.random.key(1), (3, 3, 16, 8)) * 0.1
+    both = jnp.concatenate([hot, cold], axis=0)
+    got_pair = qconv.int8_conv2d(both, k, smooth_alpha=None)[1]
+    got_solo = qconv.int8_conv2d(cold, k, smooth_alpha=None)[0]
+    np.testing.assert_allclose(
+        np.asarray(got_pair), np.asarray(got_solo), rtol=0, atol=1e-5
+    )
 
 
 def test_dispatch_gated_globally_and_per_site():
