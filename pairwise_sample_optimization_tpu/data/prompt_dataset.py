@@ -7,12 +7,14 @@ shuffled iterator that emits already-tokenized device-ready batches is
 all the "data loader" this workload needs.
 
 The prompt list is data: pass ``json_path`` to any JSON list of
-``{caption: str, ...}`` records. The reference's training prompt set
-(4 000 PickaPic captions, protocol data from
-``pso_pytorch/assets/4k_training_prompts.json``) ships with the package
-— ``PromptDataset(json_path="4k")`` or ``training_prompts_path()``
-resolves it. A small built-in prompt set keeps tests and benches
-self-contained when no path is given.
+``{caption: str, ...}`` records or a newline-delimited ``.txt``. The
+reference's prompt assets ship with the package as protocol data:
+``PromptDataset("4k")`` — the 4 000 PickaPic training captions
+(``pso_pytorch/assets/4k_training_prompts.json``) — and
+``PromptDataset("imagereward")`` — the 1000-prompt ImageReward benchmark
+set (``pso_pytorch/assets/imagereward_prompt.txt``). A small built-in
+prompt set keeps tests and benches self-contained when no path is
+given.
 """
 
 from __future__ import annotations
@@ -53,6 +55,17 @@ def training_prompts_path() -> str:
     )
 
 
+def imagereward_prompts_path() -> str:
+    """Packaged copy of the reference's 1000-prompt ImageReward benchmark
+    set (``pso_pytorch/assets/imagereward_prompt.txt`` — shipped by the
+    reference as protocol data; one prompt per line)."""
+    return os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "assets",
+        "imagereward_prompt.txt",
+    )
+
+
 def _load_hf_prompts(source: str, split: Optional[str], caption_key: str):
     """Load prompts via HF ``datasets``: ``load_from_disk`` for a local
     export directory, ``load_dataset(name, split=...)`` otherwise."""
@@ -89,11 +102,13 @@ class PromptDataset:
         :461-466``) or a local ``save_to_disk`` directory; requires
         network for hub names (this environment has none — pass a
         local export)."""
-        if json_path == "4k":  # the packaged reference training prompt set
-            json_path = training_prompts_path()
+        _packaged = {"4k": training_prompts_path,
+                     "imagereward": imagereward_prompts_path}
+        if json_path in _packaged:  # packaged reference prompt sets
+            json_path = _packaged[json_path]()
             if not os.path.exists(json_path):
                 raise FileNotFoundError(
-                    f"packaged 4k prompt asset missing: {json_path} "
+                    f"packaged prompt asset missing: {json_path} "
                     "(broken install — data/assets not packaged?)"
                 )
         if hf_dataset:
@@ -103,6 +118,10 @@ class PromptDataset:
             # train on the builtin smoke prompts — the prompt set is the
             # protocol
             raise FileNotFoundError(f"prompt json not found: {json_path!r}")
+        elif json_path and json_path.endswith(".txt"):
+            # newline-delimited prompt lists (the imagereward set's format)
+            with open(json_path) as f:
+                self.prompts = [ln.strip() for ln in f if ln.strip()]
         elif json_path:
             with open(json_path) as f:
                 meta = json.load(f)

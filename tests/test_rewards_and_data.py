@@ -226,6 +226,28 @@ class TestPromptData:
         assert len(ds) == 4000
         assert all(isinstance(p, str) and p for p in ds.prompts[:10])
 
+    def test_packaged_imagereward_prompts(self):
+        """The reference's ImageReward benchmark prompt set
+        (``pso_pytorch/assets/imagereward_prompt.txt``, 1000 prompts)
+        ships with the package; resolves via the "imagereward"
+        shorthand and the generic newline-delimited .txt loader."""
+        from pairwise_sample_optimization_tpu.data import (
+            imagereward_prompts_path,
+        )
+
+        import os
+
+        assert os.path.exists(imagereward_prompts_path())
+        ds = PromptDataset("imagereward")
+        assert len(ds) == 1000
+        assert all(isinstance(p, str) and p for p in ds.prompts[:10])
+
+    def test_txt_dataset(self, tmp_path):
+        p = tmp_path / "prompts.txt"
+        p.write_text("a cat\n\na dog\n")
+        ds = PromptDataset(str(p))
+        assert len(ds) == 2 and ds[1] == "a dog"
+
     def test_json_dataset(self, tmp_path):
         p = tmp_path / "prompts.json"
         p.write_text('[{"caption": "a"}, {"caption": "b"}]')
