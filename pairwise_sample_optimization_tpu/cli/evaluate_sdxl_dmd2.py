@@ -39,7 +39,9 @@ def parse_args(argv=None):
     p.add_argument("--lora_path", default="", help="pytorch_lora_weights.safetensors")
     p.add_argument("--lora_rank", type=int, default=16)
     p.add_argument("--bpe_path", default=os.environ.get("PSO_BPE_PATH", ""))
-    p.add_argument("--prompts_json", default="", help="eval prompt list json")
+    p.add_argument("--prompts_json", default="",
+                   help="eval prompt list: json, newline .txt, or a packaged "
+                        'set ("4k", "imagereward")')
     p.add_argument("--hf_dataset", default="",
                    help="HF datasets source: hub name (reference "
                         "yuvalkirstain/pickapic_v1_no_images; needs network) "

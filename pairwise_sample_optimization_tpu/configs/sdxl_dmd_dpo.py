@@ -19,10 +19,12 @@ def get_config():
     config.train.fuse_ref_pass = False
     # DMD2 quirk parity: transition noise shared across the batch
     config.sample.shared_noise = True
-    # 1024^2 memory: tiled GN (size-gated) + chunked VAE decode keep the
-    # decoder's activation peak inside 16GB; subpixel upsample stays on
-    # here (the r2 DMD numbers, BENCHMARKS.md, were measured with it)
+    # 1024^2 memory: tiled GN (size-gated) + subpixel upsample stay on
+    # (the r2 DMD numbers, BENCHMARKS.md, were measured with them). The
+    # chunked VAE decode that 16GB used to require became unnecessary
+    # after the r3 GroupNorm fp32-temp elimination — unchunked decode
+    # fits at b4 and measures 0.35 vs 0.33 pairs/s (2x on-chip runs)
     config.kernels.fused_groupnorm = True
     config.kernels.subpixel_upsample = True
-    config.vae_decode_chunk = 2
+    config.vae_decode_chunk = 0
     return config
