@@ -51,6 +51,13 @@ def main():
         from pairwise_sample_optimization_tpu.ops.qconv import set_use_int8_decode
 
         set_use_int8_decode(os.environ["PSO_INT8_DECODE"] == "1")
+    if os.environ.get("PSO_INT8_SMOOTH"):
+        from pairwise_sample_optimization_tpu.ops.qconv import (
+            set_int8_smooth_alpha,
+        )
+
+        alpha = float(os.environ["PSO_INT8_SMOOTH"])
+        set_int8_smooth_alpha(alpha if alpha > 0 else None)
     from pairwise_sample_optimization_tpu.models.clip import (
         CLIPTextConfig,
         CLIPVisionConfig,

@@ -89,6 +89,8 @@ def run_online_pso(
     qconv_ops.set_use_int8_decode(
         bool(config.kernels.get("int8_vae_decode", False))
     )
+    _sa = float(config.kernels.get("int8_smooth_alpha", 0.0))
+    qconv_ops.set_int8_smooth_alpha(_sa if _sa > 0.0 else None)
     from ..models.layers import set_gelu_exact
 
     set_gelu_exact(bool(config.kernels.get("gelu_exact", False)))

@@ -125,6 +125,10 @@ def get_config():
     # dynamic-int8 VAE-decoder resnet convs (2x MXU rate): opt-in
     # throughput/accuracy trade for sampling-heavy runs; never the UNet
     kernels.int8_vae_decode = False
+    # SmoothQuant outlier migration strength for the int8 decode
+    # (0.0 = off; costs ~6% of the int8 headline — worth it only on
+    # real checkpoints with channel-heteroscedastic GN affines)
+    kernels.int8_smooth_alpha = 0.0
     # force the exact erf GELU under bf16 compute (strict torch-parity
     # runs; default tanh-under-bf16 is ~8% faster, models/layers.py)
     kernels.gelu_exact = False

@@ -5,18 +5,22 @@ step time, ~63% of bf16 MXU peak — BENCHMARKS.md); the v5e MXU runs
 int8 at 2x the bf16 rate (microbenched 178-190 TOP/s vs 133 TF/s on
 these shapes, scripts/microbench_vae.py). This path quantizes per-call:
 
-- SmoothQuant-style outlier migration (Xiao et al., arXiv 2211.10438):
-  each input channel's activation range is equalized into the weights
-  before quantization — ``conv(x/m_c, W*m_c) == conv(x, W)`` exactly for
-  a per-input-channel scale, so the migration is free and only the
-  quantization grids change. GroupNorm's per-channel affine makes
-  decoder activations channel-heteroscedastic; migrating that spread
-  into the (per-output-channel-scaled) weights is where the accuracy
-  comes from.
 - activations per-SAMPLE symmetric (dynamic max over H,W,C) — decode
-  batches interleave two trajectories whose ranges differ;
+  batches interleave two trajectories whose ranges differ, and the
+  per-sample grid is free (same reduction read as the per-tensor max);
 - weights per-output-channel symmetric;
-- int32 accumulation, dequantize into the bias add.
+- int32 accumulation, dequantize into the bias add;
+- OPT-IN SmoothQuant-style outlier migration (Xiao et al., arXiv
+  2211.10438) via ``set_int8_smooth_alpha``: each input channel's
+  activation range is equalized into the weights before quantization —
+  ``conv(x/m_c, W*m_c) == conv(x, W)`` exactly for a per-input-channel
+  scale, so only the quantization grids change. Default OFF by
+  measurement: the extra per-channel activation reduction does not fuse
+  with the per-sample max (different reduce axes) and costs ~6% of the
+  int8 headline, while at random weights the ranking fidelity does not
+  measurably improve (BENCHMARKS.md). Real checkpoints make decoder
+  activations channel-heteroscedastic through the GroupNorm affine —
+  turn it on there.
 
 It remains an accuracy/throughput TRADE and is OFF by default — enable
 via ``kernels.int8_vae_decode`` / ``set_use_int8_decode`` for
@@ -32,6 +36,7 @@ from jax import lax
 
 _DN = ("NHWC", "HWIO", "NHWC")
 _USE_INT8_DECODE = False
+_SMOOTH_ALPHA: float | None = None  # opt-in outlier migration (see above)
 
 
 def set_use_int8_decode(flag: bool) -> None:
@@ -43,13 +48,19 @@ def use_int8_decode() -> bool:
     return _USE_INT8_DECODE
 
 
+def set_int8_smooth_alpha(alpha: float | None) -> None:
+    """Migration strength for the dispatched int8 path (None = off)."""
+    global _SMOOTH_ALPHA
+    _SMOOTH_ALPHA = alpha
+
+
 def int8_conv2d(
     x: jnp.ndarray,
     kernel: jnp.ndarray,
     bias: jnp.ndarray | None = None,
     stride: int = 1,
     padding: tuple = ((1, 1), (1, 1)),
-    smooth_alpha: float | None = 0.5,
+    smooth_alpha: float | None = None,
 ) -> jnp.ndarray:
     """Dynamic-int8 conv: x (B,H,W,C), kernel (kh,kw,C,O) HWIO.
 
@@ -99,7 +110,8 @@ def decoder_conv2d(
     """Conv dispatch for decoder resnet convs: int8 when globally enabled
     AND the call site allows it; plain conv otherwise."""
     if allow_int8 and _USE_INT8_DECODE:
-        return int8_conv2d(x, kernel, bias, stride, padding)
+        return int8_conv2d(x, kernel, bias, stride, padding,
+                           smooth_alpha=_SMOOTH_ALPHA)
     y = lax.conv_general_dilated(
         x, kernel, (stride, stride), padding, dimension_numbers=_DN
     )

@@ -62,19 +62,26 @@ def main():
         jax.random.key(7), jnp.zeros((1, 8, 8, 4)), method=pipe.vae.decode
     )
 
-    # the int8 flag is read at TRACE time — one jitted decode would bake
-    # whichever mode was live at its first call and silently ignore the
-    # toggle. Trace one function per mode, under the right flag.
+    # the int8 flag/alpha are read at TRACE time — one jitted decode
+    # would bake whichever mode was live at its first call and silently
+    # ignore the toggle. Trace one function per mode, under the right
+    # flag. Decoding the SAME latents through all three modes gives a
+    # PAIRED comparison of the quantizer variants (binomial noise on
+    # the flip rate cancels between variants).
     def _decode(z, vv):
         return pipe.vae.apply(vv, z, method=pipe.vae.decode)
 
     decode_fp = jax.jit(_decode)
     decode_q = jax.jit(lambda z, vv: _decode(z, vv))
+    decode_qs = jax.jit(lambda z, vv: _decode(z, vv))  # smoothed variant
     z0 = jnp.zeros((2 * b, 64, 64, 4))
     qconv.set_use_int8_decode(False)
     np.asarray(decode_fp(z0, vae_vars)[0, 0, 0])
     qconv.set_use_int8_decode(True)
     np.asarray(decode_q(z0, vae_vars)[0, 0, 0])
+    qconv.set_int8_smooth_alpha(0.5)
+    np.asarray(decode_qs(z0, vae_vars)[0, 0, 0])
+    qconv.set_int8_smooth_alpha(None)
     qconv.set_use_int8_decode(False)
     ids = jnp.asarray(np.random.default_rng(0).integers(1, 49407, (b, 77)))
     text_feats = scorer.text_features(ids)
@@ -82,43 +89,55 @@ def main():
     def score(images):
         return np.asarray(scorer.score_with_text_features(images, text_feats))
 
-    psnrs, snrs, deltas, flips, gaps = [], [], [], 0, []
+    variants = {"plain": decode_q, "smooth": decode_qs}
+    psnrs = {k: [] for k in variants}
+    snrs = {k: [] for k in variants}
+    deltas = {k: [] for k in variants}
+    flips = {k: 0 for k in variants}
+    gaps = []
     for it in range(-(-2 * n_pairs // (2 * b))):
         z = jax.random.normal(
             jax.random.fold_in(jax.random.key(1), it), (2 * b, 64, 64, 4)
         ) / pipe.vae.config.scaling_factor
         img_fp = decode_fp(z, vae_vars)
-        img_q = decode_q(z, vae_vars)
         a = np.asarray(img_fp, np.float64)
-        q = np.asarray(img_q, np.float64)
-        err = q - a
-        snrs.append(10 * np.log10(np.var(a) / max(np.var(err), 1e-30)))
-        # PSNR over the [-1,1] image range (peak 2.0)
-        psnrs.append(10 * np.log10(4.0 / max(np.mean(err**2), 1e-30)))
         s_fp = np.concatenate([score(img_fp[:b]), score(img_fp[b:])])
-        s_q = np.concatenate([score(img_q[:b]), score(img_q[b:])])
-        deltas.extend(np.abs(s_q - s_fp).tolist())
-        g0, g1 = s_fp[:b] - s_fp[b:], s_q[:b] - s_q[b:]
-        flips += int(np.sum(np.sign(g0) != np.sign(g1)))
+        g0 = s_fp[:b] - s_fp[b:]
         gaps.extend(np.abs(g0).tolist())
+        for name, dec in variants.items():
+            img_q = dec(z, vae_vars)
+            q = np.asarray(img_q, np.float64)
+            err = q - a
+            snrs[name].append(
+                10 * np.log10(np.var(a) / max(np.var(err), 1e-30))
+            )
+            # PSNR over the [-1,1] image range (peak 2.0)
+            psnrs[name].append(
+                10 * np.log10(4.0 / max(np.mean(err**2), 1e-30))
+            )
+            s_q = np.concatenate([score(img_q[:b]), score(img_q[b:])])
+            deltas[name].extend(np.abs(s_q - s_fp).tolist())
+            g1 = s_q[:b] - s_q[b:]
+            flips[name] += int(np.sum(np.sign(g0) != np.sign(g1)))
 
     # guard: 60+ dB means the int8 path did not actually engage (the
     # trace-time-flag failure mode this script once had)
-    assert np.mean(snrs) < 60.0, (
-        f"int8 and fp decodes are bit-identical-class ({np.mean(snrs):.1f} dB) "
-        "— the int8 path did not engage"
-    )
+    for name in variants:
+        assert np.mean(snrs[name]) < 60.0, (
+            f"int8[{name}] and fp decodes are bit-identical-class "
+            f"({np.mean(snrs[name]):.1f} dB) — the int8 path did not engage"
+        )
     total_pairs = len(gaps)  # b pairs per iteration
-    out = {
-        "n_pairs": total_pairs,
-        "snr_db": float(np.mean(snrs)),
-        "psnr_db": float(np.mean(psnrs)),
-        "pickscore_abs_delta_mean": float(np.mean(deltas)),
-        "pickscore_abs_delta_p95": float(np.percentile(deltas, 95)),
-        "pair_gap_abs_mean": float(np.mean(gaps)),
-        "preference_flips": flips,
-        "flip_rate": flips / float(total_pairs),
-    }
+    out = {"n_pairs": total_pairs, "pair_gap_abs_mean": float(np.mean(gaps))}
+    for name in variants:
+        out[name] = {
+            "snr_db": float(np.mean(snrs[name])),
+            "psnr_db": float(np.mean(psnrs[name])),
+            "pickscore_abs_delta_mean": float(np.mean(deltas[name])),
+            "pickscore_abs_delta_p95": float(np.percentile(deltas[name], 95)),
+            "preference_flips": flips[name],
+            "flip_rate": flips[name] / float(total_pairs),
+        }
     print(json.dumps(out, indent=2))
 
 
