@@ -295,6 +295,11 @@ def main(argv=None):
             lora_rank=args.rank, resolution=args.resolution,
             bpe_path=args.bpe_path, tiny=args.tiny, te_lora_rank=te_lora_rank,
             use_dora=args.use_dora, remat=remat,
+            # full-size smoke must still fit the 16GB chip: same bf16
+            # storage + cheap zero-fill init as from_torch_dir's budget
+            # (tiny CPU models keep fp32 params for test numerics)
+            param_dtype=None if args.tiny else jnp.bfloat16,
+            fast_init=not args.tiny,
         )
 
     from ..data import make_clip_tokenizers
@@ -642,9 +647,18 @@ def main(argv=None):
 
         if (step + 1) % 10 == 0 or step == 0:
             mlog.log_metrics({k2: float(v) for k2, v in aux.items()}, step + 1)
-        if (step + 1) % args.checkpointing_steps == 0 or step + 1 == total_steps:
+        # checkpointing_steps=0 disables periodic saves (the final-step
+        # export still runs) — same semantics as the online runner
+        if (
+            args.checkpointing_steps
+            and (step + 1) % args.checkpointing_steps == 0
+        ) or step + 1 == total_steps:
             save_all(step + 1)
-        if not args.skip_validation and (step + 1) % args.validation_steps == 0:
+        if (
+            not args.skip_validation
+            and args.validation_steps
+            and (step + 1) % args.validation_steps == 0
+        ):
             root_dir = run_dreambooth_validation(
                 val_generate, val_prompts, args.output_dir, step + 1,
                 num_images_per_prompt=args.num_validation_images, seed=args.seed,

@@ -302,6 +302,45 @@ def test_dreambooth_cli_tiny(tmp_path):
     )
 
 
+def test_dreambooth_cli_checkpointing_zero_disables(tmp_path):
+    """--checkpointing_steps=0 disables periodic saves (no ZeroDivision;
+    online-runner semantics) while the final-step export still lands."""
+    from PIL import Image
+
+    from pairwise_sample_optimization_tpu.cli.train_pso_sdxl_turbo_dreambooth import (
+        main,
+    )
+
+    d = tmp_path / "instance"
+    d.mkdir()
+    rng = np.random.default_rng(0)
+    Image.fromarray(
+        rng.integers(0, 255, (40, 40, 3), dtype=np.uint8)
+    ).save(d / "0.png")
+
+    state = main(
+        [
+            "--tiny",
+            f"--instance_data_dir={d}",
+            "--instance_prompt=a photo of sks dog",
+            "--resolution=16",
+            "--train_batch_size=1",
+            "--max_train_steps=2",
+            "--num_negatives=1",
+            "--rank=2",
+            "--checkpointing_steps=0",
+            "--skip_validation",
+            f"--output_dir={tmp_path / 'out'}",
+        ]
+    )
+    assert int(state.step) == 2
+    # no step-1 periodic save; only the final export
+    assert not os.path.exists(tmp_path / "out" / "lora-1")
+    assert os.path.exists(
+        tmp_path / "out" / "lora-2" / "pytorch_lora_weights.safetensors"
+    )
+
+
 def test_dreambooth_cli_validation_te_lora_and_resume(tmp_path):
     """Full parity tail in one tiny run: grad accum, TE-LoRA training,
     the 25-prompt validation suite, and resume-from-checkpoint."""
