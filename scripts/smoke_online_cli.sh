@@ -25,7 +25,8 @@ python - "$OUT/smoke/metrics.jsonl" <<'EOF'
 import json, math, sys
 
 rows = [json.loads(l) for l in open(sys.argv[1])]
-assert rows, "no metrics logged"
+rows = [r for r in rows if "loss" in r]  # skip epoch-level reward rows
+assert rows, "no update metrics logged"
 first = rows[0]
 assert abs(first["loss"] - math.log(2.0)) < 1e-3, first
 assert all(math.isfinite(r["loss"]) for r in rows), "non-finite loss"
