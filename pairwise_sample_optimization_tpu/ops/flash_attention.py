@@ -47,14 +47,25 @@ def _best_tile(n: int, cap: int) -> int:
     return max(size, min(n, 128))
 
 
+# forward tile caps (tunable like the backward's for on-chip sweeps)
+_FWD_CAPS = (1024, 512)
+
+
+def set_fwd_block_caps(bq_cap: int, bk_cap: int) -> None:
+    global _FWD_CAPS
+    _FWD_CAPS = (int(bq_cap), int(bk_cap))
+
+
 def _block_sizes(sq: int, skv: int):
     """Largest tiles that divide the (padded) sequences, capped for VMEM.
 
     Measured on v5e (seq 4096, h10 d64 b8): bq=1024/bk=512 runs 12.5ms vs
     36.8ms at the 256/128 defaults and 36.9ms for XLA's fused attention —
     bigger tiles amortize the per-grid-step overhead and keep the MXU fed.
+    Re-swept at the DMD2 1024² occupancy point (b2/b4 s4096, and the VAE
+    mid-block s16384 d512): the 1024/512 caps stay optimal (BENCHMARKS.md).
     """
-    return _best_tile(sq, 1024), _best_tile(skv, 512)
+    return _best_tile(sq, _FWD_CAPS[0]), _best_tile(skv, _FWD_CAPS[1])
 
 
 # backward tile caps, tunable independently of the forward (the backward
