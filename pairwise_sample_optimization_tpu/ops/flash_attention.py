@@ -48,7 +48,7 @@ def _best_tile(n: int, cap: int) -> int:
 
 
 # forward tile caps (tunable like the backward's for on-chip sweeps)
-_FWD_CAPS = (1024, 512)
+_FWD_CAPS = (1024, 1024)
 
 
 def set_fwd_block_caps(bq_cap: int, bk_cap: int) -> None:
@@ -56,16 +56,24 @@ def set_fwd_block_caps(bq_cap: int, bk_cap: int) -> None:
     _FWD_CAPS = (int(bq_cap), int(bk_cap))
 
 
-def _block_sizes(sq: int, skv: int):
+def _block_sizes(sq: int, skv: int, d: int = 64):
     """Largest tiles that divide the (padded) sequences, capped for VMEM.
 
-    Measured on v5e (seq 4096, h10 d64 b8): bq=1024/bk=512 runs 12.5ms vs
-    36.8ms at the 256/128 defaults and 36.9ms for XLA's fused attention —
-    bigger tiles amortize the per-grid-step overhead and keep the MXU fed.
-    Re-swept at the DMD2 1024² occupancy point (b2/b4 s4096, and the VAE
-    mid-block s16384 d512): the 1024/512 caps stay optimal (BENCHMARKS.md).
+    Swept on v5e with RTT-AMORTIZED timing (a lax.scan of 20 kernel
+    calls per dispatch — the axon tunnel adds a session-dependent
+    ~25 ms per dispatch+readback that polluted earlier per-call
+    sweeps, BENCHMARKS.md "tunnel RTT"): at the mandatory-route UNet
+    shape (s4096 h10 d64) bk=1024 beats bk=512 by 25% at b2
+    (2.47 vs 3.29 ms) and 31% at b8 (6.88 vs 10.04 ms). Wide heads
+    (the VAE mid-block's single d512 head) hold bk*d-sized k/v tiles:
+    bk=1024 there exceeds the 16M scoped-VMEM limit by 192K (measured
+    compile OOM) and was a timing tie anyway — so the bk cap stays 512
+    when d > 128.
     """
-    return _best_tile(sq, _FWD_CAPS[0]), _best_tile(skv, _FWD_CAPS[1])
+    bq_cap, bk_cap = _FWD_CAPS
+    if d > 128:
+        bk_cap = min(bk_cap, 512)
+    return _best_tile(sq, bq_cap), _best_tile(skv, bk_cap)
 
 
 # backward tile caps, tunable independently of the forward (the backward
@@ -141,7 +149,7 @@ def _fwd(q, k, v, scale, kv_len):
     """q (BH, Sq, D), k/v (BH, Skv, D) -> (o, lse)."""
     bh, sq, d = q.shape
     skv = k.shape[1]
-    bq, bk = _block_sizes(sq, skv)
+    bq, bk = _block_sizes(sq, skv, d)
     n_q, n_kv = sq // bq, skv // bk
     grid = (bh, n_q, n_kv)
 
