@@ -40,7 +40,9 @@ SAMPLE_BS = int(os.environ.get("PSO_SAMPLE_BS", "2" if SAMPLER == "dmd" else "4"
 N_BATCHES = int(os.environ.get("PSO_N_BATCHES", "2" if SAMPLER == "dmd" else "4"))
 TRAIN_BS = int(os.environ.get("PSO_TRAIN_BS", "1" if SAMPLER == "dmd" else "4"))
 GA = int(os.environ.get("PSO_GA", "4" if SAMPLER == "dmd" else "2"))
-DECODE_CHUNK = int(os.environ.get("PSO_DECODE_CHUNK", "2" if SAMPLER == "dmd" else "0"))
+# unchunked decode became the DMD2 config default post-GN-fix (configs/
+# sdxl_dmd_dpo.py vae_decode_chunk=0; BENCHMARKS.md r3 table)
+DECODE_CHUNK = int(os.environ.get("PSO_DECODE_CHUNK", "0"))
 OFFLOAD = os.environ.get("PSO_OFFLOAD", "0") == "1"
 
 
