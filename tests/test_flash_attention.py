@@ -86,3 +86,18 @@ def test_dispatch_routes_pallas():
     out = att.dot_product_attention(q, q, q, impl="pallas")
     ref = att.dot_product_attention(q, q, q, impl="naive")
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3)
+
+
+def test_block_sizes_d_aware():
+    """Forward bk cap is 1024 for narrow heads (RTT-amortized sweep win)
+    but stays 512 for wide heads: bk=1024 at the VAE mid-block's d512
+    head is a measured 16M-scoped-VMEM compile OOM on v5e."""
+    assert fa._block_sizes(4096, 4096, d=64) == (1024, 1024)
+    assert fa._block_sizes(16384, 16384, d=512) == (1024, 512)
+    # user-set caps still respected below the d-gate
+    fa.set_fwd_block_caps(512, 256)
+    try:
+        assert fa._block_sizes(4096, 4096, d=64) == (512, 256)
+        assert fa._block_sizes(16384, 16384, d=512) == (512, 256)
+    finally:
+        fa.set_fwd_block_caps(1024, 1024)
