@@ -166,6 +166,10 @@ def parse_args(argv=None):
                    help="also export kohya-ss-layout LoRA safetensors "
                         "(ref --output_kohya_format :735)")
     p.add_argument("--tiny", action="store_true", help="toy models (smoke/CI)")
+    p.add_argument("--fast_init", action="store_true",
+                   help="zero-fill weights instead of random init when no "
+                        "--pretrained_model_dir (skips the minutes-long "
+                        "full-size init program; throughput/compile smokes)")
     # ---- reference-inert parity knobs (accepted for drop-in script
     # compatibility; each is a no-op in the reference's own PSO loss path) --
     p.add_argument("--snr_gamma", type=float, default=None,
@@ -290,16 +294,20 @@ def main(argv=None):
             param_dtype=jnp.bfloat16,
         )
     else:
-        logger.warning("no --pretrained_model_dir: random weights (smoke mode)")
+        logger.warning(
+            "no --pretrained_model_dir: %s weights (smoke mode)",
+            "zero-filled" if args.fast_init else "random",
+        )
         pipe = SDXLPipeline.random(
             lora_rank=args.rank, resolution=args.resolution,
             bpe_path=args.bpe_path, tiny=args.tiny, te_lora_rank=te_lora_rank,
             use_dora=args.use_dora, remat=remat,
-            # full-size smoke must still fit the 16GB chip: same bf16
-            # storage + cheap zero-fill init as from_torch_dir's budget
-            # (tiny CPU models keep fp32 params for test numerics)
+            # full-size random weights must still fit the 16GB chip: same
+            # bf16 storage as from_torch_dir's budget (tiny CPU models
+            # keep fp32 params for test numerics). Init stays genuinely
+            # random unless --fast_init asks for the cheap zero-fill.
             param_dtype=None if args.tiny else jnp.bfloat16,
-            fast_init=not args.tiny,
+            fast_init=args.fast_init,
         )
 
     from ..data import make_clip_tokenizers

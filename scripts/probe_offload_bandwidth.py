@@ -1,12 +1,20 @@
 """Measure device <-> pinned_host transfer bandwidth for the offload path.
 
-The full-loop bench measured `offload_aux_during_update` costing ~20 s
-per epoch at 512^2 (~5 GB of aux weights each way). This probe times a
-1 GiB roundtrip in isolation so BENCHMARKS.md can attribute the cost:
-if bandwidth is O(100 MB/s) the path is being staged through the axon
-tunnel (an environment artifact); if it is O(10 GB/s) the cost model
-for a real pod host holds and only the per-epoch amortization argument
-remains.
+The full-loop bench measured `offload_aux_during_update` costing ~8-20 s
+per epoch (~4.4 GB of aux weights each way). This probe times a 1 GiB
+transfer each way so BENCHMARKS.md can attribute the cost.
+
+Sync discipline (CLAUDE.md timing gotchas): `jax.block_until_ready` can
+return before execution completes through the axon tunnel; only value
+readback reliably syncs — and there is no cheap readback of a
+pinned_host array (any op on it round-trips through the device). So:
+
+- restore (pinned_host -> device) is timed directly, synced by a
+  1-element device readback;
+- park (device -> pinned_host) is derived by SUBTRACTION: the synced
+  full roundtrip (park + restore, readback at the end) minus the synced
+  restore. The naive block_until_ready park timing is printed too,
+  labeled as a dispatch-bound lower bound, not a measurement.
 
 Usage: python -u scripts/probe_offload_bandwidth.py
 """
@@ -32,25 +40,43 @@ def main():
     sync(x)
     dev = x.sharding
     host = dev.with_memory_kind("pinned_host")
+    device = dev.with_memory_kind("device")
 
-    for label, src, dst in (("device->pinned_host", x, host),
-                            ("warm repeat ->host", x, host)):
-        t0 = time.perf_counter()
-        h = jax.device_put(src, dst)
-        jax.block_until_ready(h)
-        t1 = time.perf_counter()
-        print(f"{label}: {t1 - t0:.3f}s  ({NBYTES / (t1 - t0) / 1e9:.2f} GB/s)")
-
+    # restore leg, directly synced (warm: repeat 3x, take min)
     h = jax.device_put(x, host)
     jax.block_until_ready(h)
+    restore = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        d = jax.device_put(h, device)
+        sync(d)
+        restore.append(time.perf_counter() - t0)
+    t_restore = min(restore)
+    print(f"pinned_host->device (restore, readback-synced): "
+          f"{t_restore:.3f}s  ({NBYTES / t_restore / 1e9:.2f} GB/s)")
+
+    # full roundtrip, synced at the end -> park = roundtrip - restore
+    rt = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        h2 = jax.device_put(x, host)
+        d2 = jax.device_put(h2, device)
+        sync(d2)
+        rt.append(time.perf_counter() - t0)
+    t_rt = min(rt)
+    t_park = max(t_rt - t_restore, 1e-9)
+    print(f"roundtrip (park+restore, readback-synced): {t_rt:.3f}s")
+    print(f"device->pinned_host (park, BY SUBTRACTION): "
+          f"{t_park:.3f}s  ({NBYTES / t_park / 1e9:.2f} GB/s)")
+
+    # the naive timing, for comparison only (block_until_ready may
+    # return early through the tunnel — treat as a lower bound)
     t0 = time.perf_counter()
-    d = jax.device_put(h, dev.with_memory_kind("device"))
-    jax.block_until_ready(d)
-    t1 = time.perf_counter()
-    sync(d)
-    t2 = time.perf_counter()
-    print(f"pinned_host->device: dispatch {t1 - t0:.3f}s, synced {t2 - t0:.3f}s "
-          f"({NBYTES / (t2 - t0) / 1e9:.2f} GB/s)")
+    h3 = jax.device_put(x, host)
+    jax.block_until_ready(h3)
+    t_naive = time.perf_counter() - t0
+    print(f"park naive block_until_ready (LOWER BOUND only): "
+          f"{t_naive:.3f}s  ({NBYTES / t_naive / 1e9:.2f} GB/s)")
 
 
 if __name__ == "__main__":

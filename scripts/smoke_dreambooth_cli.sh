@@ -25,6 +25,7 @@ print("instance images ready")
 EOF
 
 python -u -m pairwise_sample_optimization_tpu.cli.train_pso_sdxl_turbo_dreambooth \
+  --fast_init \
   --instance_data_dir="$DATA" \
   --instance_prompt="a photo of sks dog" \
   --class_name="dog" \
