@@ -499,6 +499,18 @@ def run_online_pso(
                         lambda x: x.sharding, pipe.unet_variables["params"]
                     )
                     debug_out["samples_sharding"] = samples["log_probs"].sharding
+                    # dryrun's DMD noise-pattern audit: the exact
+                    # sampling-time tensors needed to recompute eps and
+                    # recover the batch-shared re-noise draws
+                    debug_out["samples"] = samples
+                    debug_out["cond0"] = cond
+                    # host copies: the LoRA leaves alias state.lora, whose
+                    # buffers the update donates — stale refs would read
+                    # deleted arrays
+                    debug_out["policy_variables"] = jax.tree.map(
+                        np.asarray, variables
+                    )
+                    debug_out["unet_apply"] = pipe.unet_apply
                 all_samples.append(samples)
                 all_cond.append(cond)
                 logger.info(

@@ -45,9 +45,8 @@ def _spec_for(path) -> P:
         return P(None, MODEL_AXIS) if leaf == "kernel" else P(MODEL_AXIS)
     if parent in _ROW_KERNELS:
         return P(MODEL_AXIS, None) if leaf == "kernel" else P()
-    if parent == "ff":
-        # GEGLU: proj_in column-wise, proj_out row-wise
-        return P()
+    # GEGLU feed-forward: proj_in column-wise, proj_out row-wise (``ff``
+    # itself has no direct leaves; its children are matched one level up)
     if len(names) > 2 and names[-3] == "ff":
         if parent == "proj_in":
             return P(None, MODEL_AXIS) if leaf == "kernel" else P(MODEL_AXIS)

@@ -311,3 +311,25 @@ class TestStatTracker:
         np.testing.assert_allclose(adv[0], -adv[1], rtol=1e-5)
         stats = t.get_stats()
         assert set(stats) == {"a", "b"}
+
+    def test_ring_keeps_most_recent_window(self):
+        # reference semantics: deque(maxlen=buffer_size) keeps the newest
+        # `buffer_size` rewards; our ring buffer must match across wraps
+        t = PerPromptStatTracker(buffer_size=4, min_count=1)
+        t.update(["a"] * 3, np.array([100.0, 100.0, 100.0]))
+        t.update(["a"] * 3, np.array([1.0, 2.0, 3.0]))  # wraps: window=[100,1,2,3]
+        s = t.get_stats()["a"]
+        window = np.array([100.0, 1.0, 2.0, 3.0])
+        np.testing.assert_allclose(s["mean"], window.mean())
+        np.testing.assert_allclose(s["std"], window.std())
+        assert s["count"] == 4
+        # oversized batch: only the newest buffer_size survive
+        t.update(["a"] * 6, np.arange(6.0))
+        np.testing.assert_allclose(t.get_stats()["a"]["mean"], np.mean([2, 3, 4, 5]))
+
+    def test_min_count_batch_fallback(self):
+        t = PerPromptStatTracker(buffer_size=8, min_count=16)
+        r = np.array([1.0, 3.0, 10.0, 30.0])
+        adv = t.update(["a", "a", "b", "b"], r)
+        # below min_count: normalized by the BATCH mean/std, not per-prompt
+        np.testing.assert_allclose(adv, (r - r.mean()) / (r.std() + 1e-6))
