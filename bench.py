@@ -32,6 +32,10 @@ BATCH = int(os.environ.get("PSO_BENCH_BATCH", "8"))  # prompt pairs per step
 RESOLUTION = 512
 NUM_STEPS = 1
 A100_BASELINE_PAIRS_PER_S = 12.0
+# single-chip speed of light for this composite: ~9.3 TFLOP/pair vs the
+# v5e's 197 TF/s bf16 peak (BENCHMARKS.md "Roofline") — the defensible
+# denominator alongside the +-30%-uncertain analytic A100 point
+SOL_PAIRS_PER_S = 21.0
 
 
 def main():
@@ -196,16 +200,107 @@ def main():
     dt = (time.perf_counter() - t0) / iters
 
     pairs_per_s = BATCH / dt
-    print(
-        json.dumps(
-            {
-                "metric": "online_pso_pairs_per_sec_per_chip",
-                "value": round(pairs_per_s, 3),
-                "unit": "pairs/s",
-                "vs_baseline": round(pairs_per_s / A100_BASELINE_PAIRS_PER_S, 3),
-            }
-        )
+
+    # Measured phase split (PSO_BENCH_PHASES=0 skips). Each phase is an
+    # RTT-amortized lax.scan of N calls inside ONE jit — the axon tunnel
+    # adds a session-dependent ~0-27 ms per dispatch+readback, so
+    # per-call timing of the sub-50ms phases (encode, scorer) is garbage
+    # otherwise (CLAUDE.md measurement gotchas).
+    phases = None
+    if os.environ.get("PSO_BENCH_PHASES", "1") == "1":
+        try:
+            phases = _measure_phases(pipe, scorer, schedule, args)
+        except Exception as e:  # phases are best-effort context
+            print(f"# phase split failed: {type(e).__name__}: {e}", file=sys.stderr)
+
+    record = {
+        "metric": "online_pso_pairs_per_sec_per_chip",
+        "value": round(pairs_per_s, 3),
+        "unit": "pairs/s",
+        "vs_baseline": round(pairs_per_s / A100_BASELINE_PAIRS_PER_S, 3),
+        # fraction of the single-chip speed of light (~21 pairs/s for the
+        # ~9.3 TFLOP/pair composite on a 197 TF/s v5e) — the measured
+        # claim; vs_baseline divides by an ANALYTIC A100 estimate +-30%
+        "sol_fraction": round(pairs_per_s / SOL_PAIRS_PER_S, 3),
+        "sol_pairs_per_s": SOL_PAIRS_PER_S,
+    }
+    if phases is not None:
+        record["phase_ms"] = phases
+    print(json.dumps(record))
+
+
+def _measure_phases(pipe, scorer, schedule, args, n=20):
+    """Per-phase ms for one bench iteration (2B images), each phase as a
+    scanned jit. A traced carry perturbs the inputs by a sub-ulp factor so
+    XLA cannot hoist the loop-invariant body out of the scan."""
+    import numpy as np
+
+    from pairwise_sample_optimization_tpu.models.sdxl_text import (
+        compute_time_ids,
+        encode_sdxl_prompt,
     )
+
+    unet_vars, vae_vars, scorer_vars, te1_vars, te2_vars, ids1, ids2, reward_ids = args
+    hw = RESOLUTION // 8
+
+    def timed(fn, *fargs):
+        @jax.jit
+        def run(fargs):
+            def body(acc, _):
+                y = fn(acc, *fargs)
+                return acc + jnp.mean(y).astype(jnp.float32), None
+            acc, _ = jax.lax.scan(body, jnp.float32(0), None, length=n)
+            return acc
+        np.asarray(run(fargs))  # compile + warm (readback = reliable sync)
+        t0 = time.perf_counter()
+        np.asarray(run(fargs))
+        return (time.perf_counter() - t0) / n * 1e3
+
+    def perturb(x, acc):
+        return x * (1.0 + acc * jnp.float32(1e-38)).astype(x.dtype)
+
+    def enc_fn(acc, te1_vars, te2_vars, ids1, ids2):
+        # int inputs: a never-true traced comparison defeats hoisting
+        ids1 = ids1 + (acc == jnp.inf).astype(ids1.dtype)
+        embeds, pooled = encode_sdxl_prompt(
+            pipe.te1, te1_vars, pipe.te2, te2_vars, ids1, ids2
+        )
+        return pooled
+
+    embeds, pooled = jax.jit(
+        lambda v1, v2, i1, i2: encode_sdxl_prompt(pipe.te1, v1, pipe.te2, v2, i1, i2)
+    )(te1_vars, te2_vars, ids1, ids2)
+    cond = {
+        "embeds": jnp.concatenate([embeds, embeds], 0),
+        "pooled": jnp.concatenate([pooled, pooled], 0),
+        "time_ids": compute_time_ids(2 * BATCH, RESOLUTION),
+    }
+    x0 = jax.random.normal(jax.random.key(0), (2 * BATCH, hw, hw, 4), jnp.float32)
+    tvec = jnp.full((2 * BATCH,), schedule.timesteps[0], jnp.float32)
+
+    def unet_fn(acc, unet_vars, x, tvec, cond):
+        return pipe.unet_apply(unet_vars, perturb(x, acc), tvec, cond, 1.0)
+
+    z = x0 * jnp.float32(0.2)
+    images = jax.jit(
+        lambda v, z: pipe.vae.apply(v, z, method=pipe.vae.decode)
+    )(vae_vars, z)
+
+    def dec_fn(acc, vae_vars, z):
+        return pipe.vae.apply(vae_vars, perturb(z, acc), method=pipe.vae.decode)
+
+    def score_fn(acc, scorer_vars, images, reward_ids):
+        txt = scorer._text_features_v(scorer_vars, reward_ids)
+        img = scorer._image_features_v(scorer_vars, perturb(images, acc))
+        return jnp.sum(jnp.concatenate([txt, txt], 0) * img, axis=-1)
+
+    return {
+        "batch_pairs": BATCH,
+        "text_encode": round(timed(enc_fn, te1_vars, te2_vars, ids1, ids2), 2),
+        "unet_2b": round(timed(unet_fn, unet_vars, x0, tvec, cond), 2),
+        "vae_decode_2b": round(timed(dec_fn, vae_vars, z), 2),
+        "pickscore_2b": round(timed(score_fn, scorer_vars, images, reward_ids), 2),
+    }
 
 
 if __name__ == "__main__":

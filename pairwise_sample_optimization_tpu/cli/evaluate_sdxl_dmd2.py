@@ -15,6 +15,7 @@ random towers (pipeline smoke / throughput mode).
 from __future__ import annotations
 
 import argparse
+import contextlib
 import json
 import os
 
@@ -82,6 +83,14 @@ def parse_args(argv=None):
                    help="force exact erf GELU under bf16 (strict scorer "
                         "parity vs the torch reference)")
     p.add_argument("--output_json", default="")
+    p.add_argument(
+        "--offload_scorers", action="store_true",
+        help="park scorer weights in TPU-host (pinned) memory and stage "
+             "each scorer on-device only for its scoring call — the full "
+             "5-scorer set (3x CLIP-H + CLIP-L + BLIP-L/BERT, ~9 GB bf16) "
+             "does not cohabit a 16 GB chip with the SDXL pipeline "
+             "(reference keeps 4 resident on an 80 GB A100, :228-236)",
+    )
     p.add_argument("--tiny", action="store_true", help="toy models (smoke/CI)")
     p.add_argument("--wordpiece_vocab", default="", help="bert vocab.txt for ImageReward")
     p.add_argument(
@@ -271,6 +280,37 @@ def main(argv=None):
                 "ImageReward needs --wordpiece_vocab (bert vocab.txt); skipping"
             )
 
+    # --offload_scorers: every scorer weight tree lives in pinned_host
+    # between uses; _staged() brings one scorer's trees on-device around
+    # its scoring call. Generation then has the chip to itself.
+    _VAR_ATTRS = (
+        "variables", "vision_variables", "mlp_variables",
+        "vit_variables", "bert_variables",
+    )
+
+    def _move_scorer(scorer, kind):
+        from ..parallel.mesh import move_to_memory_kind
+
+        for attr in _VAR_ATTRS:
+            tree = getattr(scorer, attr, None)
+            if tree is not None:
+                setattr(scorer, attr, move_to_memory_kind(tree, kind))
+
+    @contextlib.contextmanager
+    def _staged(scorer):
+        if not args.offload_scorers:
+            yield
+            return
+        _move_scorer(scorer, "device")
+        try:
+            yield
+        finally:
+            _move_scorer(scorer, "pinned_host")
+
+    if args.offload_scorers:
+        for s in scorers.values():
+            _move_scorer(s, "pinned_host")
+
     # weights enter as jit ARGUMENTS: jitting the bound methods would
     # capture the towers as trace-time constants (zero-filled smoke
     # weights would then constant-fold, and real weights risk HBM
@@ -306,14 +346,19 @@ def main(argv=None):
         images = generate(pipe.unet_variables, pipe.vae_variables, cond, keys)
         r_ids = jnp.asarray(tok_r(batch_prompts))
         for name, scorer in scorers.items():
-            if name == "aesthetic":
-                s = scorer.score(images)
-            elif name == "imagereward":
-                wp_ids, wp_mask = ir_tok(batch_prompts)
-                s = scorer.score(images, jnp.asarray(wp_ids), jnp.asarray(wp_mask))
-            else:
-                s = scorer.score(images, r_ids)
-            results[name].append(np.asarray(s)[: len(batch_prompts)])
+            with _staged(scorer):
+                if name == "aesthetic":
+                    s = scorer.score(images)
+                elif name == "imagereward":
+                    wp_ids, wp_mask = ir_tok(batch_prompts)
+                    s = scorer.score(
+                        images, jnp.asarray(wp_ids), jnp.asarray(wp_mask)
+                    )
+                else:
+                    s = scorer.score(images, r_ids)
+                # readback inside the stage: the park must not race the
+                # scoring dispatch (axon: only value readback syncs)
+                results[name].append(np.asarray(s)[: len(batch_prompts)])
         done = min(start + bs, len(shard))
         if done % (10 * bs) < bs:
             logger.info("[%d/%d] prompts evaluated", done, len(shard))

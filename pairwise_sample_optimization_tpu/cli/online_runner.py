@@ -233,6 +233,7 @@ def run_online_pso(
         # faster end-to-end; a trimmed config must not silently regress)
         fuse_ref_pass=bool(config.train.get("fuse_ref_pass", False)) and not full_ft,
         full_finetune=full_ft,
+        int8_ref_pass=bool(config.train.get("int8_ref_pass", False)),
     )
     tx = make_optimizer(
         learning_rate=config.train.learning_rate,

@@ -106,6 +106,10 @@ def get_config():
     # grad-free reference half through backward+remat (update 8.2s vs
     # 5.3s, full loop 1.49 -> 2.05 pairs/s) — so False is the default.
     train.fuse_ref_pass = False
+    # dynamic-int8 frozen-reference forward (2 of the 4 UNet passes per
+    # microbatch are grad-free; ~2x MXU rate): opt-in accuracy/throughput
+    # trade, qualification in BENCHMARKS.md
+    train.int8_ref_pass = False
 
     # ---- kernels ----
     config.kernels = kernels = ml_collections.ConfigDict()

@@ -23,6 +23,7 @@ import jax.numpy as jnp
 
 from ..ops.attention import dot_product_attention
 from ..ops.group_norm import group_norm
+from ..ops.qconv import in_int8_ref_pass, int8_matmul
 
 Dtype = jnp.dtype
 
@@ -88,7 +89,11 @@ class LoRADense(nn.Module):
             self.param_dtype,
         )
         x = x.astype(self.dtype)
-        y = x @ kernel.astype(self.dtype)
+        if in_int8_ref_pass() and not self.is_initializing():
+            # grad-free frozen-reference forward (ops.qconv.int8_ref_pass)
+            y = int8_matmul(x, kernel.astype(self.dtype))
+        else:
+            y = x @ kernel.astype(self.dtype)
         if self.use_bias:
             bias = self.param(
                 "bias", nn.initializers.zeros_init(), (self.features,), self.param_dtype
@@ -249,6 +254,33 @@ class Attention(nn.Module):
         )(o, lora_scale)
 
 
+class DenseMaybeInt8(nn.Module):
+    """``nn.Dense``-compatible layer (same param names/shapes/init) whose
+    matmul routes through dynamic int8 inside an
+    ``ops.qconv.int8_ref_pass`` scope (the UNet's grad-free
+    frozen-reference forward); plain dtype matmul otherwise."""
+
+    features: int
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (x.shape[-1], self.features),
+            self.param_dtype,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros_init(), (self.features,), self.param_dtype
+        )
+        x = x.astype(self.dtype)
+        if in_int8_ref_pass() and not self.is_initializing():
+            return int8_matmul(x, kernel.astype(self.dtype), bias.astype(self.dtype))
+        return x @ kernel.astype(self.dtype) + bias.astype(self.dtype)
+
+
 class GEGLUFeedForward(nn.Module):
     """LayerNorm'd transformer FF with GEGLU gate (diffusers convention)."""
 
@@ -260,12 +292,12 @@ class GEGLUFeedForward(nn.Module):
     @nn.compact
     def __call__(self, x):
         inner = self.dim * self.mult
-        proj = nn.Dense(
+        proj = DenseMaybeInt8(
             inner * 2, dtype=self.dtype, param_dtype=self.param_dtype, name="proj_in"
         )(x)
         hidden, gate = jnp.split(proj, 2, axis=-1)
         x = hidden * nn.gelu(gate, approximate=_gelu_approx(self.dtype))
-        return nn.Dense(
+        return DenseMaybeInt8(
             self.dim, dtype=self.dtype, param_dtype=self.param_dtype, name="proj_out"
         )(x)
 
@@ -329,7 +361,7 @@ class SpatialTransformer(nn.Module):
         residual = x
         x = GroupNorm(self.groups, eps=1e-6, param_dtype=self.param_dtype, name="norm")(x)
         x = x.reshape(b, h * w, c)
-        x = nn.Dense(c, dtype=self.dtype, param_dtype=self.param_dtype, name="proj_in")(x)
+        x = DenseMaybeInt8(c, dtype=self.dtype, param_dtype=self.param_dtype, name="proj_in")(x)
         for i in range(self.depth):
             x = BasicTransformerBlock(
                 dim=c,
@@ -342,7 +374,7 @@ class SpatialTransformer(nn.Module):
                 param_dtype=self.param_dtype,
                 name=f"block_{i}",
             )(x, context, lora_scale)
-        x = nn.Dense(c, dtype=self.dtype, param_dtype=self.param_dtype, name="proj_out")(x)
+        x = DenseMaybeInt8(c, dtype=self.dtype, param_dtype=self.param_dtype, name="proj_out")(x)
         return x.reshape(b, h, w, c) + residual
 
 

@@ -30,6 +30,8 @@ Image-level qualification numbers: BENCHMARKS.md ("Known headroom").
 
 from __future__ import annotations
 
+import contextlib
+
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -37,6 +39,7 @@ from jax import lax
 _DN = ("NHWC", "HWIO", "NHWC")
 _USE_INT8_DECODE = False
 _SMOOTH_ALPHA: float | None = None  # opt-in outlier migration (see above)
+_REF_PASS_INT8 = False  # trace-time scope flag (int8_ref_pass below)
 
 
 def set_use_int8_decode(flag: bool) -> None:
@@ -52,6 +55,59 @@ def set_int8_smooth_alpha(alpha: float | None) -> None:
     """Migration strength for the dispatched int8 path (None = off)."""
     global _SMOOTH_ALPHA
     _SMOOTH_ALPHA = alpha
+
+
+@contextlib.contextmanager
+def int8_ref_pass(enabled: bool = True):
+    """Trace-time scope: while active, the UNet's weight matmuls
+    (transformer projections, GEGLU FF, attention q/k/v/out bases) and
+    resnet 3x3 convs route through dynamic int8.
+
+    Intended ONLY around the grad-free frozen-reference forward of the
+    DPO update (``train.online_pso`` wraps the unfused ``lora_scale=0``
+    apply; reference cost context: 2 of the 4 UNet passes/microbatch,
+    ``train_online_pso_sdxl_turbo.py:775-805``). The pass is
+    quantization-tolerant by the same argument as the int8 VAE decode:
+    its output only enters the loss through the reference log-prob, and
+    the v5e MXU runs int8 at ~2x the bf16 rate. The flag is read at
+    TRACE time — scope it around the apply inside the jitted function.
+    """
+    global _REF_PASS_INT8
+    prev = _REF_PASS_INT8
+    _REF_PASS_INT8 = bool(enabled)
+    try:
+        yield
+    finally:
+        _REF_PASS_INT8 = prev
+
+
+def in_int8_ref_pass() -> bool:
+    return _REF_PASS_INT8
+
+
+def int8_matmul(
+    x: jnp.ndarray, w: jnp.ndarray, bias: jnp.ndarray | None = None
+) -> jnp.ndarray:
+    """Dynamic-int8 matmul: x (..., C) @ w (C, O).
+
+    Activations per-TOKEN symmetric (max over the contracted dim — the
+    finest grid whose reduction fuses with the quantize), weights
+    per-output-column symmetric, int32 accumulation, dequantize into the
+    bias add. Exact on integer-representable inputs (see tests)."""
+    xf = x.astype(jnp.float32)
+    wf = w.astype(jnp.float32)
+    s_x = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-8) / 127.0
+    s_w = jnp.maximum(jnp.max(jnp.abs(wf), axis=0), 1e-8) / 127.0  # (O,)
+    xq = jnp.clip(jnp.round(xf / s_x), -127, 127).astype(jnp.int8)
+    wq = jnp.clip(jnp.round(wf / s_w), -127, 127).astype(jnp.int8)
+    acc = lax.dot_general(
+        xq, wq, (((xq.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    y = acc.astype(jnp.float32) * (s_x * s_w)
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
+    return y.astype(x.dtype)
 
 
 def int8_conv2d(
@@ -107,11 +163,16 @@ def decoder_conv2d(
     padding: tuple = ((1, 1), (1, 1)),
     allow_int8: bool = False,
 ) -> jnp.ndarray:
-    """Conv dispatch for decoder resnet convs: int8 when globally enabled
-    AND the call site allows it; plain conv otherwise."""
+    """Conv dispatch for resnet 3x3 convs: int8 when the VAE-decode knob
+    is on AND the call site allows it, or inside an ``int8_ref_pass``
+    scope (UNet frozen-reference forward); plain conv otherwise.
+    SmoothQuant migration stays a decode-only option — the ref pass uses
+    the plain per-sample/per-channel grids."""
     if allow_int8 and _USE_INT8_DECODE:
         return int8_conv2d(x, kernel, bias, stride, padding,
                            smooth_alpha=_SMOOTH_ALPHA)
+    if _REF_PASS_INT8:
+        return int8_conv2d(x, kernel, bias, stride, padding)
     y = lax.conv_general_dilated(
         x, kernel, (stride, stride), padding, dimension_numbers=_DN
     )

@@ -20,6 +20,7 @@ program over the mesh:
 
 from __future__ import annotations
 
+import contextlib
 import dataclasses
 from typing import Callable, Optional
 
@@ -65,6 +66,12 @@ class OnlinePSOConfig:
     # param tree and the frozen reference is a SEPARATE weight copy (the
     # lora_scale=0 trick no longer applies) — doubles UNet HBM.
     full_finetune: bool = False
+    # run the grad-free frozen-reference forward (2 of the reference's 4
+    # UNet passes/microbatch, ``train_online_pso_sdxl_turbo.py:775-805``)
+    # through dynamic-int8 matmuls/convs (ops.qconv.int8_ref_pass): the
+    # v5e MXU runs int8 at ~2x bf16. Accuracy/throughput trade like the
+    # int8 VAE decode — opt-in pending qualification (BENCHMARKS.md).
+    int8_ref_pass: bool = False
 
     def __post_init__(self):
         if self.num_steps < 2:
@@ -84,6 +91,12 @@ class OnlinePSOConfig:
                 "full_finetune needs fuse_ref_pass=False: policy and reference "
                 "run different weights, so the per-sample lora_scale fusion "
                 "cannot express the reference pass"
+            )
+        if self.int8_ref_pass and self.fuse_ref_pass:
+            raise ValueError(
+                "int8_ref_pass needs fuse_ref_pass=False: the fused 4b apply "
+                "runs policy and reference through the same ops, so the "
+                "reference half cannot be quantized separately"
             )
 
     @property
@@ -325,14 +338,23 @@ class OnlinePSOTrainer:
             eps_ref = jax.lax.stop_gradient(eps_ref)
         else:
             eps_pol = self.unet_apply(variables, inp, t2, cond2, 1.0)
-            eps_ref = jax.lax.stop_gradient(
-                self.unet_apply(
-                    jax.lax.stop_gradient(
-                        ref_variables if cfg.full_finetune else variables
-                    ),
-                    inp, t2, cond2, 0.0,
-                )
+            from ..ops import qconv
+
+            # trace-time scope: inside it the UNet's weight matmuls and
+            # resnet convs lower to dynamic int8 (grad-free pass only)
+            ref_scope = (
+                qconv.int8_ref_pass() if cfg.int8_ref_pass
+                else contextlib.nullcontext()
             )
+            with ref_scope:
+                eps_ref = jax.lax.stop_gradient(
+                    self.unet_apply(
+                        jax.lax.stop_gradient(
+                            ref_variables if cfg.full_finetune else variables
+                        ),
+                        inp, t2, cond2, 0.0,
+                    )
+                )
 
         x_t2 = jnp.concatenate([x_t, x_t], 0)
         x_prev2 = jnp.concatenate([x_prev, x_prev], 0)

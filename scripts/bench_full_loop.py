@@ -44,6 +44,7 @@ GA = int(os.environ.get("PSO_GA", "4" if SAMPLER == "dmd" else "2"))
 # sdxl_dmd_dpo.py vae_decode_chunk=0; BENCHMARKS.md r3 table)
 DECODE_CHUNK = int(os.environ.get("PSO_DECODE_CHUNK", "0"))
 OFFLOAD = os.environ.get("PSO_OFFLOAD", "0") == "1"
+INT8_REF = os.environ.get("PSO_INT8_REF", "0") == "1"  # int8 frozen-ref pass
 
 
 def main():
@@ -113,6 +114,7 @@ def main():
         grad_accum=GA,
         compare="sample" if SAMPLER == "turbo" else "pareto",
         fuse_ref_pass=FUSE,
+        int8_ref_pass=INT8_REF,
     )
     trainer = OnlinePSOTrainer(
         ocfg,
@@ -246,6 +248,7 @@ def main():
             {
                 "sampler": SAMPLER,
                 "fuse_ref_pass": FUSE,
+                "int8_ref_pass": INT8_REF,
                 "remat": REMAT,
                 "attn": ATTN,
                 "resolution": RES,

@@ -144,6 +144,27 @@ def test_evaluate_cli_tiny(tmp_path):
     assert len(report["per_prompt"]["prompts"]) == 4
 
 
+def test_evaluate_cli_offload_scorers_matches_resident(tmp_path):
+    """--offload_scorers (pinned_host staging for the 5-scorer 16GB
+    cotenancy) must reproduce the resident run's scores exactly."""
+    from pairwise_sample_optimization_tpu.cli.evaluate_sdxl_dmd2 import main
+
+    common = [
+        "--tiny", "--resolution=16", "--batch_size=2", "--max_prompts=4",
+        "--num_steps=4", "--scorers=pickscore,clip,aesthetic,imagereward,hps",
+    ]
+    resident = main(common + [f"--output_json={tmp_path / 'a.json'}"])
+    offloaded = main(
+        common + ["--offload_scorers", f"--output_json={tmp_path / 'b.json'}"]
+    )
+    assert set(resident) == {
+        "pickscore_mean", "clip_mean", "aesthetic_mean",
+        "imagereward_mean", "hps_mean",
+    }
+    for k, v in resident.items():
+        np.testing.assert_allclose(offloaded[k], v, rtol=0, atol=0)
+
+
 def test_evaluate_cli_loads_scorer_weights(tmp_path):
     """The eval CLI must be able to score with REAL weight files (round-2
     verdict: it always ran random towers). Tiny HF CLIPModel + aesthetic

@@ -146,3 +146,129 @@ def test_int8_decode_image_level_snr():
     # through the stacked decoder convs (measured ~30+ on random weights;
     # full-size numbers in BENCHMARKS.md via scripts/qualify_int8_decode.py)
     assert snr_db > 25.0, snr_db
+
+
+# --------------------------------------------------------------------- #
+# int8 frozen-reference pass (ops.qconv.int8_ref_pass)
+# --------------------------------------------------------------------- #
+
+
+def test_int8_matmul_exact_on_representable_values():
+    """Integer-valued inputs/weights at full-scale grids quantize
+    losslessly -> the int8 matmul must be EXACT."""
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.integers(-127, 128, (2, 5, 8)), jnp.float32)
+    w = jnp.asarray(rng.integers(-127, 128, (8, 6)), jnp.float32)
+    x = x.at[..., 0].set(127.0)  # per-token max -> scale 1
+    w = w.at[0].set(127.0)  # per-column max -> scale 1
+    b = jnp.arange(6, dtype=jnp.float32)
+    got = qconv.int8_matmul(x, w, b)
+    want = x @ w + b
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=0, atol=0)
+
+
+def test_int8_matmul_close_on_random():
+    x = jax.random.normal(jax.random.key(0), (2, 16, 32))
+    w = jax.random.normal(jax.random.key(1), (32, 24)) * 0.1
+    got = qconv.int8_matmul(x, w)
+    want = x @ w
+    err = float(jnp.max(jnp.abs(got - want)) / jnp.max(jnp.abs(want)))
+    assert err < 0.05, err
+
+
+def test_int8_ref_pass_scope_routes_full_unet():
+    """Inside the scope a tiny-UNet lora_scale=0 apply runs its matmuls/
+    convs in int8: output must CHANGE (routing proof) but stay within the
+    int8 error band of the plain forward (accuracy proof)."""
+    from pairwise_sample_optimization_tpu.models import SDXLUNet, UNetConfig
+
+    ucfg = UNetConfig.tiny(lora_rank=2)
+    model = SDXLUNet(ucfg)
+    b = 2
+    cond = dict(
+        encoder_hidden_states=jax.random.normal(
+            jax.random.key(1), (b, 5, ucfg.cross_attention_dim)
+        ),
+        pooled_text_embeds=jax.random.normal(
+            jax.random.key(2), (b, ucfg.pooled_embed_dim)
+        ),
+        add_time_ids=jnp.tile(jnp.array([[512.0, 512, 0, 0, 512, 512]]), (b, 1)),
+    )
+    x = jax.random.normal(jax.random.key(3), (b, 8, 8, 4))
+    t = jnp.asarray([499.0, 999.0])
+    variables = model.init(jax.random.key(0), x[:1], t[:1], cond["encoder_hidden_states"][:1],
+                           cond["pooled_text_embeds"][:1], cond["add_time_ids"][:1])
+
+    plain = np.asarray(model.apply(variables, x, t, **cond, lora_scale=0.0))
+    with qconv.int8_ref_pass():
+        quant = np.asarray(model.apply(variables, x, t, **cond, lora_scale=0.0))
+    after = np.asarray(model.apply(variables, x, t, **cond, lora_scale=0.0))
+
+    assert np.abs(quant - plain).max() > 0, "scope did not route"
+    np.testing.assert_allclose(after, plain, atol=0, rtol=0)  # scope exited
+    rel = np.abs(quant - plain).max() / max(np.abs(plain).max(), 1e-9)
+    assert rel < 0.2, rel
+
+
+def test_int8_ref_pass_trainer_end_to_end():
+    """OnlinePSOConfig(int8_ref_pass=True): the update runs, the loss is
+    finite and in the on-policy band (ratios near 1 modulo int8 noise on
+    the reference log-probs), LoRA still moves; fused+int8 is rejected."""
+    import dataclasses
+
+    from pairwise_sample_optimization_tpu.models import SDXLUNet, UNetConfig
+    from pairwise_sample_optimization_tpu.train import (
+        OnlinePSOConfig,
+        OnlinePSOTrainer,
+        PSOTrainState,
+        make_optimizer,
+    )
+
+    ucfg = UNetConfig.tiny(lora_rank=2)
+    model = SDXLUNet(ucfg)
+
+    def unet_apply(variables, x, t, cond, lora_scale):
+        return model.apply(
+            variables, x, t, cond["embeds"], cond["pooled"], cond["time_ids"],
+            lora_scale=lora_scale,
+        )
+
+    cfg = OnlinePSOConfig(
+        sampler="turbo", num_steps=4, train_batch_size=2, grad_accum=1,
+        int8_ref_pass=True,
+    )
+    with pytest.raises(ValueError):
+        dataclasses.replace(cfg, fuse_ref_pass=True)
+
+    trainer = OnlinePSOTrainer(
+        cfg, unet_apply, make_optimizer(learning_rate=1e-3),
+        decode_fn=lambda z: jnp.tanh(z[..., :3]),
+        reward_fn=lambda images, rc: jnp.mean(images, axis=(1, 2, 3)),
+        latent_hw=8,
+    )
+    b = 2
+    cond = {
+        "embeds": jax.random.normal(jax.random.key(1), (b, 5, ucfg.cross_attention_dim)),
+        "pooled": jax.random.normal(jax.random.key(2), (b, ucfg.pooled_embed_dim)),
+        "time_ids": jnp.tile(jnp.array([[512.0, 512, 0, 0, 512, 512]]), (b, 1)),
+    }
+    variables = model.init(
+        jax.random.key(0), jnp.zeros((1, 8, 8, 4)), jnp.zeros((1,)),
+        cond["embeds"][:1], cond["pooled"][:1], cond["time_ids"][:1],
+    )
+    samples, _ = trainer.sample_pairs(variables, cond, {}, jax.random.key(10))
+    state = PSOTrainState.create(variables["lora"], trainer.tx)
+    before = jax.tree.map(np.asarray, state.lora)
+    state, metrics = trainer.train_epoch(
+        state, variables["params"], samples, cond, jax.random.key(11)
+    )
+    loss = metrics[0]["loss"]
+    assert np.isfinite(loss)
+    # the int8 noise on the REFERENCE log-probs perturbs the log(2) anchor
+    # but must stay in its neighborhood (beta=50 amplifies real drift)
+    assert 0.1 < loss < 3.0, loss
+    moved = [
+        np.abs(a - np.asarray(v)).max()
+        for a, v in zip(jax.tree.leaves(before), jax.tree.leaves(state.lora))
+    ]
+    assert max(moved) > 0
