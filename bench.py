@@ -260,12 +260,17 @@ def _measure_phases(pipe, scorer, schedule, args, n=20):
         return x * (1.0 + acc * jnp.float32(1e-38)).astype(x.dtype)
 
     def enc_fn(acc, te1_vars, te2_vars, ids1, ids2):
-        # int inputs: a never-true traced comparison defeats hoisting
-        ids1 = ids1 + (acc == jnp.inf).astype(ids1.dtype)
+        # int inputs: a never-true traced comparison defeats loop-invariant
+        # hoisting — BOTH id tensors, or the untouched tower is hoisted out
+        bump = (acc == jnp.inf)
+        ids1 = ids1 + bump.astype(ids1.dtype)
+        ids2 = ids2 + bump.astype(ids2.dtype)
         embeds, pooled = encode_sdxl_prompt(
             pipe.te1, te1_vars, pipe.te2, te2_vars, ids1, ids2
         )
-        return pooled
+        # consume BOTH outputs: pooled alone depends only on TE2, and XLA
+        # would dead-code-eliminate the whole TE1 tower
+        return pooled.astype(jnp.float32) + jnp.mean(embeds).astype(jnp.float32)
 
     embeds, pooled = jax.jit(
         lambda v1, v2, i1, i2: encode_sdxl_prompt(pipe.te1, v1, pipe.te2, v2, i1, i2)
@@ -290,6 +295,10 @@ def _measure_phases(pipe, scorer, schedule, args, n=20):
         return pipe.vae.apply(vae_vars, perturb(z, acc), method=pipe.vae.decode)
 
     def score_fn(acc, scorer_vars, images, reward_ids):
+        # perturb the ids too: the headline program computes text features
+        # inside every iteration, so the phase must keep the text tower in
+        # the loop (unperturbed, LICM hoists it and undercounts the phase)
+        reward_ids = reward_ids + (acc == jnp.inf).astype(reward_ids.dtype)
         txt = scorer._text_features_v(scorer_vars, reward_ids)
         img = scorer._image_features_v(scorer_vars, perturb(images, acc))
         return jnp.sum(jnp.concatenate([txt, txt], 0) * img, axis=-1)

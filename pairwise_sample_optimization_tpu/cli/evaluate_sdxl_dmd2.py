@@ -301,11 +301,20 @@ def main(argv=None):
         if not args.offload_scorers:
             yield
             return
+        # weights are immutable during eval: restore the STASHED pinned
+        # trees instead of re-copying device->host every batch (halves the
+        # staging traffic; the device copies free when replaced)
+        parked = {
+            attr: getattr(scorer, attr)
+            for attr in _VAR_ATTRS
+            if getattr(scorer, attr, None) is not None
+        }
         _move_scorer(scorer, "device")
         try:
             yield
         finally:
-            _move_scorer(scorer, "pinned_host")
+            for attr, tree in parked.items():
+                setattr(scorer, attr, tree)
 
     if args.offload_scorers:
         for s in scorers.values():

@@ -57,10 +57,13 @@ class PerPromptStatTracker:
 
     def update(self, prompts, rewards) -> np.ndarray:
         prompts = np.asarray(prompts)
-        rewards = np.asarray(rewards, dtype=np.float64)
+        rewards_in = np.asarray(rewards)
+        rewards = rewards_in.astype(np.float64)
         batch_mean = rewards.mean()
         batch_std = rewards.std() + 1e-6
-        advantages = np.empty_like(rewards)
+        # advantages come back in the CALLER's dtype (reference
+        # np.empty_like semantics); stats accumulate in f64 internally
+        advantages = np.empty_like(rewards_in)
         for prompt in np.unique(prompts):
             mask = prompts == prompt
             ring = self.stats.get(prompt)

@@ -56,9 +56,10 @@ BPE=${PSO_BPE_PATH:-$ROOT/bpe/bpe_simple_vocab_16e6.txt.gz}
 
 python -m pairwise_sample_optimization_tpu.cli.evaluate_sdxl_dmd2 \
   --model_dir "$ROOT/sdxl" \
-  "${LORA_ARGS[@]}" \
+  ${LORA_ARGS[@]+"${LORA_ARGS[@]}"} \
+  ${HPS_ARGS[@]+"${HPS_ARGS[@]}"} \
   --bpe_path "$BPE" \
-  "${PROMPT_ARGS[@]}" \
+  ${PROMPT_ARGS[@]+"${PROMPT_ARGS[@]}"} \
   --max_prompts "$MAX" \
   --resolution 1024 --num_steps 4 --batch_size 2 --seed 0 \
   --scorers "$SCORERS" \

@@ -25,7 +25,8 @@ run() {  # run <logname> <cmd...>
   probe || { echo "[queue] giving up waiting for chip"; exit 1; }
   echo "[queue] $(date +%H:%M:%S) start: $* -> $log"
   "$@" > "$log" 2>&1
-  echo "[queue] $(date +%H:%M:%S) done rc=$? : $(tail -c 400 "$log" | tr '\n' ' ')"
+  local rc=$?  # capture BEFORE the $(date)/$(tail) substitutions reset $?
+  echo "[queue] $(date +%H:%M:%S) done rc=$rc : $(tail -c 400 "$log" | tr '\n' ' ')"
 }
 
 run turbo_control        python -u scripts/bench_full_loop.py

@@ -327,6 +327,13 @@ class TestStatTracker:
         t.update(["a"] * 6, np.arange(6.0))
         np.testing.assert_allclose(t.get_stats()["a"]["mean"], np.mean([2, 3, 4, 5]))
 
+    def test_advantages_preserve_caller_dtype(self):
+        # reference np.empty_like semantics: float32 rewards -> float32
+        # advantages (internal accumulation stays f64)
+        t = PerPromptStatTracker(buffer_size=4, min_count=1)
+        adv = t.update(["a", "a"], np.array([1.0, 2.0], np.float32))
+        assert adv.dtype == np.float32
+
     def test_min_count_batch_fallback(self):
         t = PerPromptStatTracker(buffer_size=8, min_count=16)
         r = np.array([1.0, 3.0, 10.0, 30.0])
