@@ -89,8 +89,8 @@ def shard_unet_params(variables, mesh: Mesh):
     return jax.tree.map(jax.device_put, variables, shardings)
 
 
-def shard_state_tp(state, mesh: Mesh, full_finetune: bool = False):
-    """Place a PSOTrainState with tensor-parallel shardings.
+def tp_state_shardings(state, mesh: Mesh, full_finetune: bool = False):
+    """NamedSharding pytree for a PSOTrainState under tensor parallelism.
 
     The optimizer moments mirror the trainable tree, so the same
     site-name rules apply down every path (the path *suffix* through
@@ -101,8 +101,12 @@ def shard_state_tp(state, mesh: Mesh, full_finetune: bool = False):
     """
     spec_fn = _spec_for if full_finetune else _lora_spec_for
     return jax.tree_util.tree_map_with_path(
-        lambda path, leaf: jax.device_put(
-            leaf, NamedSharding(mesh, spec_fn(path))
-        ),
-        state,
+        lambda path, leaf: NamedSharding(mesh, spec_fn(path)), state
+    )
+
+
+def shard_state_tp(state, mesh: Mesh, full_finetune: bool = False):
+    """Place a PSOTrainState with tensor-parallel shardings."""
+    return jax.tree.map(
+        jax.device_put, state, tp_state_shardings(state, mesh, full_finetune)
     )

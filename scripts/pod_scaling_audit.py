@@ -18,9 +18,18 @@ is 2.6B params; ``jax.eval_shape`` + ShapeDtypeStruct inputs keep the
 audit runnable on the 1-core host). Results recorded in BENCHMARKS.md
 "Pod scaling audit".
 
+Beyond the DP default, ``--modes fsdp,tp`` audits the two beyond-parity
+placements the runner ships: FSDP (frozen weights sharded over ``data``;
+evidence = per-device weight HBM drops ~1/N while per-device FLOPs stay
+~1/N and the recurring collectives become the per-layer weight
+all-gathers) and tensor parallelism (width sharding over ``model``;
+evidence = per-device FLOPs still ~1/N with activation-sized
+all-reduces per block).
+
 Usage:
-  python scripts/pod_scaling_audit.py            # tiny UNet, fast
-  python scripts/pod_scaling_audit.py --full     # full SDXL UNet @512^2
+  python scripts/pod_scaling_audit.py                       # tiny UNet, fast
+  python scripts/pod_scaling_audit.py --modes dp,fsdp,tp    # all placements
+  python scripts/pod_scaling_audit.py --full --modes fsdp   # full SDXL @512^2
 """
 
 import argparse
@@ -88,7 +97,20 @@ def collective_bytes(hlo_text: str) -> dict:
     return out
 
 
-def build_compiled(n_devices: int, full: bool):
+def build_compiled(n_devices: int, full: bool, mode: str = "dp"):
+    """Lower + GSPMD-compile the real update program for one placement mode.
+
+    mode:
+      dp    — frozen weights replicated, batch over ``data`` (the default
+              runner placement; the reference's DDP equivalent)
+      fsdp  — frozen weights sharded over ``data`` via
+              ``parallel.fsdp.fsdp_param_shardings`` (``mesh.fsdp=True``)
+      tp    — UNet width-sharded over a (data, model) mesh via
+              ``parallel.tp`` (``mesh.model>1``); 8 devices -> (2, 4),
+              the shape the equivalence test pins
+    """
+    import math
+
     import jax
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -112,7 +134,12 @@ def build_compiled(n_devices: int, full: bool):
         bs_global, ga = 8, 1
 
     model = SDXLUNet(ucfg)
-    mesh = make_mesh(MeshSpec(data=n_devices), jax.devices()[:n_devices])
+    if mode == "tp" and n_devices > 1:
+        mp = 4 if n_devices % 4 == 0 and n_devices >= 4 else n_devices
+        spec = MeshSpec(data=n_devices // mp, model=mp)
+    else:
+        spec = MeshSpec(data=n_devices)
+    mesh = make_mesh(spec, jax.devices()[:n_devices])
 
     cfg = OnlinePSOConfig(
         sampler="turbo",
@@ -178,47 +205,111 @@ def build_compiled(n_devices: int, full: bool):
     batch = sharded_sds(batch_shapes, batch_spec)
     cond = sharded_sds(cond_shapes, batch_spec)
 
-    def repl_sds(tree):
+    def place_sds(tree, shardings):
         return jax.tree.map(
-            lambda s: jax.ShapeDtypeStruct(s.shape, s.dtype, sharding=repl), tree
+            lambda s, sh: jax.ShapeDtypeStruct(s.shape, s.dtype, sharding=sh),
+            tree,
+            shardings,
+        )
+
+    def repl_shardings(tree):
+        return jax.tree.map(lambda _: repl, tree)
+
+    # frozen-param + state shardings per placement mode (the exact
+    # production sharding functions the runner wires, online_runner.py)
+    if mode == "fsdp":
+        from pairwise_sample_optimization_tpu.parallel.fsdp import (
+            fsdp_param_shardings,
+        )
+
+        param_shardings = fsdp_param_shardings(var_shapes["params"], mesh)
+        state_shardings = repl_shardings(state_shapes)
+    elif mode == "tp":
+        from pairwise_sample_optimization_tpu.parallel.tp import (
+            tp_state_shardings,
+            unet_param_shardings,
+        )
+
+        param_shardings = unet_param_shardings({"params": var_shapes["params"]}, mesh)[
+            "params"
+        ]
+        state_shardings = tp_state_shardings(state_shapes, mesh)
+    else:
+        param_shardings = repl_shardings(var_shapes["params"])
+        state_shardings = repl_shardings(state_shapes)
+
+    def per_device_bytes(tree, shardings):
+        return sum(
+            math.prod(sh.shard_shape(s.shape)) * s.dtype.itemsize
+            for s, sh in zip(jax.tree.leaves(tree), jax.tree.leaves(shardings))
         )
 
     key = jax.random.key(0)
     key_sds = jax.ShapeDtypeStruct(key.shape, key.dtype, sharding=repl)
-    args = (repl_sds(state_shapes), repl_sds(var_shapes["params"]), batch, cond, key_sds)
+    args = (
+        place_sds(state_shapes, state_shardings),
+        place_sds(var_shapes["params"], param_shardings),
+        batch,
+        cond,
+        key_sds,
+    )
     lora_bytes = sum(
         s.size * s.dtype.itemsize for s in jax.tree.leaves(var_shapes["lora"])
     )
+    weight_bytes = {
+        "frozen_total": sum(
+            s.size * s.dtype.itemsize for s in jax.tree.leaves(var_shapes["params"])
+        ),
+        "frozen_per_device": per_device_bytes(var_shapes["params"], param_shardings),
+        "state_per_device": per_device_bytes(state_shapes, state_shardings),
+    }
     compiled = jax.jit(trainer._update_impl).lower(*args).compile()
-    return compiled, lora_bytes
+    return compiled, lora_bytes, weight_bytes
+
+
+def audit_one(n: int, full: bool, mode: str):
+    compiled, lora_bytes, wbytes = build_compiled(n, full, mode)
+    cost = compiled.cost_analysis()
+    if isinstance(cost, (list, tuple)):
+        cost = cost[0]
+    flops = float(cost.get("flops", float("nan")))
+    coll = collective_bytes(compiled.as_text())
+    print(f"[{mode}] n_devices={n}: per-device flops={flops:.4g}", flush=True)
+    print(
+        f"  frozen weights: {wbytes['frozen_total'] / 1e9:.3f} GB total, "
+        f"{wbytes['frozen_per_device'] / 1e9:.3f} GB/device; "
+        f"state {wbytes['state_per_device'] / 1e6:.1f} MB/device"
+    )
+    for k, v in sorted(coll.items()):
+        print(f"  {k}: {v / 1e6:.3f} MB")
+    return flops, coll, lora_bytes, wbytes
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--full", action="store_true", help="full-size SDXL UNet @512^2")
     ap.add_argument("--devices", type=int, default=N_DEVICES)
+    ap.add_argument(
+        "--modes",
+        default="dp",
+        help="comma list of placement modes to audit at --devices: dp,fsdp,tp",
+    )
     args = ap.parse_args()
     _force_cpu(args.devices)
 
-    rows = []
-    for n in (1, args.devices):
-        compiled, lora_bytes = build_compiled(n, args.full)
-        cost = compiled.cost_analysis()
-        if isinstance(cost, (list, tuple)):
-            cost = cost[0]
-        flops = float(cost.get("flops", float("nan")))
-        coll = collective_bytes(compiled.as_text())
-        rows.append((n, flops, coll))
-        print(f"n_devices={n}: per-device flops={flops:.4g}", flush=True)
-        for k, v in sorted(coll.items()):
-            print(f"  {k}: {v / 1e6:.3f} MB")
-
-    (n1, f1, _), (nn, fn, colln) = rows
+    f1, _, lora_bytes, w1 = audit_one(1, args.full, "dp")
     print()
-    print(f"LoRA gradient tree: {lora_bytes / 1e6:.3f} MB")
-    print(f"per-device FLOP ratio ({nn} dev / 1 dev): {fn / f1:.4f}  (ideal {1/nn:.4f})")
-    total_coll = sum(colln.values())
-    print(f"total static collective bytes @ {nn} dev: {total_coll / 1e6:.3f} MB")
+    for mode in args.modes.split(","):
+        fn, colln, _, wn = audit_one(args.devices, args.full, mode)
+        total_coll = sum(colln.values())
+        print(
+            f"  -> FLOP ratio vs 1 dev: {fn / f1:.4f} (ideal {1/args.devices:.4f}); "
+            f"static collective bytes {total_coll / 1e6:.3f} MB; "
+            f"frozen-weight HBM {w1['frozen_per_device'] / 1e9:.3f} -> "
+            f"{wn['frozen_per_device'] / 1e9:.3f} GB/device"
+        )
+        print(f"  LoRA gradient tree: {lora_bytes / 1e6:.3f} MB")
+        print()
 
 
 if __name__ == "__main__":
