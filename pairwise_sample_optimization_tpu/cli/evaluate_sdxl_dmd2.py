@@ -18,6 +18,7 @@ import argparse
 import contextlib
 import json
 import os
+import time
 
 import jax
 import jax.numpy as jnp
@@ -92,6 +93,12 @@ def parse_args(argv=None):
              "(reference keeps 4 resident on an 80 GB A100, :228-236)",
     )
     p.add_argument("--tiny", action="store_true", help="toy models (smoke/CI)")
+    p.add_argument(
+        "--timing", action="store_true",
+        help="measure per-batch generation / staging / scoring wall time "
+             "(adds readback syncs between phases — throughput numbers "
+             "come from these runs, parity numbers from untimed runs)",
+    )
     p.add_argument("--wordpiece_vocab", default="", help="bert vocab.txt for ImageReward")
     p.add_argument(
         "--vae_decode_chunk", type=int, default=-1,
@@ -134,9 +141,12 @@ def main(argv=None):
             lora_rank=args.lora_rank,
             resolution=args.resolution,
             bpe_path=args.bpe_path,
+            # --tiny + --model_dir: port a tiny-layout checkpoint (the
+            # parity-protocol smoke drives the real script this way)
+            tiny=args.tiny,
             # the full SDXL + scorer weight set only fits a 16GB chip in
             # half precision (same as the smoke branch below)
-            param_dtype=jnp.bfloat16,
+            param_dtype=None if args.tiny else jnp.bfloat16,
         )
     else:
         logger.warning("no --model_dir: random weights (protocol smoke mode)")
@@ -296,8 +306,17 @@ def main(argv=None):
             if tree is not None:
                 setattr(scorer, attr, move_to_memory_kind(tree, kind))
 
+    def _sync_one_leaf(scorer):
+        """Realize the staging copies (1-element readback — the only
+        reliable axon sync) so --timing attributes them to the stage."""
+        for attr in _VAR_ATTRS:
+            tree = getattr(scorer, attr, None)
+            if tree is not None:
+                np.asarray(jax.tree.leaves(tree)[0].ravel()[:1])
+                return
+
     @contextlib.contextmanager
-    def _staged(scorer):
+    def _staged(scorer, stage_times=None):
         if not args.offload_scorers:
             yield
             return
@@ -309,7 +328,11 @@ def main(argv=None):
             for attr in _VAR_ATTRS
             if getattr(scorer, attr, None) is not None
         }
+        t0 = time.perf_counter()
         _move_scorer(scorer, "device")
+        if stage_times is not None:
+            _sync_one_leaf(scorer)
+            stage_times.append(time.perf_counter() - t0)
         try:
             yield
         finally:
@@ -336,6 +359,14 @@ def main(argv=None):
     # GLOBAL index, so the sharded run is bit-identical to single-process
     # (the round-robin gather then restores dataset order) ----
     results = {name: [] for name in scorers}
+    timing = None
+    if args.timing:
+        timing = {
+            "batch_s": [],  # per batch: total wall
+            "gen_s": [],  # per batch: encode+generate (readback-synced)
+            "stage_s": {n: [] for n in scorers},  # per batch per scorer
+            "score_s": {n: [] for n in scorers},
+        }
     root_key = jax.random.key(args.seed)
     bs = args.batch_size
     for start in range(0, len(shard), bs):
@@ -344,6 +375,7 @@ def main(argv=None):
             batch_prompts = batch_prompts + [batch_prompts[-1]] * (
                 bs - len(batch_prompts)
             )
+        t_batch = time.perf_counter()
         cond = encode(
             pipe.te1_variables, pipe.te2_variables,
             jnp.asarray(tok1(batch_prompts)), jnp.asarray(tok2(batch_prompts)),
@@ -353,9 +385,14 @@ def main(argv=None):
         )
         keys = jax.vmap(lambda i: jax.random.fold_in(root_key, i))(global_idx)
         images = generate(pipe.unet_variables, pipe.vae_variables, cond, keys)
+        if timing is not None:
+            np.asarray(images.ravel()[:1])  # sync: charge gen to gen
+            timing["gen_s"].append(time.perf_counter() - t_batch)
         r_ids = jnp.asarray(tok_r(batch_prompts))
         for name, scorer in scorers.items():
-            with _staged(scorer):
+            stage_times = timing["stage_s"][name] if timing is not None else None
+            t_sc = time.perf_counter()
+            with _staged(scorer, stage_times):
                 if name == "aesthetic":
                     s = scorer.score(images)
                 elif name == "imagereward":
@@ -368,6 +405,12 @@ def main(argv=None):
                 # readback inside the stage: the park must not race the
                 # scoring dispatch (axon: only value readback syncs)
                 results[name].append(np.asarray(s)[: len(batch_prompts)])
+            if timing is not None:
+                dt = time.perf_counter() - t_sc
+                st = timing["stage_s"][name]
+                timing["score_s"][name].append(dt - (st[-1] if st else 0.0))
+        if timing is not None:
+            timing["batch_s"].append(time.perf_counter() - t_batch)
         done = min(start + bs, len(shard))
         if done % (10 * bs) < bs:
             logger.info("[%d/%d] prompts evaluated", done, len(shard))
@@ -383,12 +426,37 @@ def main(argv=None):
         summary[f"{name}_mean"] = float(np.mean(gathered))
         logger.info("%s on eval set: %.8f", name, summary[f"{name}_mean"])
 
+    timing_summary = None
+    if timing is not None and len(timing["batch_s"]) > 0:
+        # batch 0 carries every compile; steady state = the rest
+        steady = timing["batch_s"][1:] or timing["batch_s"]
+        mean_batch = float(np.mean(steady))
+        timing_summary = {
+            "compile_batch_s": round(timing["batch_s"][0], 2),
+            "steady_batch_s": round(mean_batch, 3),
+            "prompts_per_min": round(60.0 * bs / mean_batch, 2),
+            "gen_s": round(float(np.mean(timing["gen_s"][1:] or timing["gen_s"])), 3),
+            "stage_s": {
+                n: round(float(np.mean(v[1:] or v)), 3) if v else 0.0
+                for n, v in timing["stage_s"].items()
+            },
+            "score_s": {
+                n: round(float(np.mean(v[1:] or v)), 3)
+                for n, v in timing["score_s"].items()
+            },
+        }
+        if args.offload_scorers:
+            steady_stage = sum(timing_summary["stage_s"].values())
+            timing_summary["staging_share"] = round(steady_stage / mean_batch, 3)
+        logger.info("timing: %s", timing_summary)
+
     if rank == 0 and args.output_json:
         with open(args.output_json, "w") as f:
             json.dump(
                 {
                     "n_prompts": n_total,
                     **summary,
+                    **({"timing": timing_summary} if timing_summary else {}),
                     "per_prompt": {
                         "prompts": prompts,
                         **per_prompt,
@@ -397,6 +465,8 @@ def main(argv=None):
                 f,
                 indent=2,
             )
+    if timing_summary is not None:
+        print(json.dumps({"timing": timing_summary}))
     print(json.dumps(summary))
     return summary
 

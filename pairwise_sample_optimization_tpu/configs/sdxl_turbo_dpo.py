@@ -106,9 +106,10 @@ def get_config():
     # grad-free reference half through backward+remat (update 8.2s vs
     # 5.3s, full loop 1.49 -> 2.05 pairs/s) — so False is the default.
     train.fuse_ref_pass = False
-    # dynamic-int8 frozen-reference forward (2 of the 4 UNet passes per
-    # microbatch are grad-free; ~2x MXU rate): opt-in accuracy/throughput
-    # trade, qualification in BENCHMARKS.md
+    # dynamic-int8 frozen-reference forward. MEASURED LOSS — keep off:
+    # round-4 A/B (BENCHMARKS.md) showed -8.3% at 1024^2 and +2.0% at
+    # 512^2 (inside the declared noise band); unlike int8_vae_decode
+    # (+10%, a real win) this knob has no shape where it helps.
     train.int8_ref_pass = False
 
     # ---- kernels ----

@@ -86,6 +86,9 @@ class CLIPVisionConfig:
     projection_dim: int = 1024
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.float32
+    # dynamic-int8 MLP matmuls in the encoder layers (opt-in; the global
+    # ops.qconv.use_int8_scorer() override also enables it at trace time)
+    int8_mlp: bool = False
 
     @staticmethod
     def vit_h14(dtype=jnp.bfloat16) -> "CLIPVisionConfig":
@@ -129,14 +132,23 @@ class CLIPEncoderLayer(nn.Module):
     lora_rank: int = 0
     use_dora: bool = False
     norm_eps: float = 1e-5
+    # dynamic-int8 MLP matmuls (fc1/fc2 — ~2/3 of tower FLOPs), param-tree
+    # compatible with the bf16 path (models/layers.Int8Dense). Scorer
+    # towers only; qualification in scripts/qualify_int8_scorer.py
+    int8_mlp: bool = False
 
     @nn.compact
     def __call__(self, x, causal: bool, lora_scale=1.0):
-        from .layers import LoRADense
+        from .layers import Int8Dense, LoRADense
 
-        dense = lambda feat, name: nn.Dense(
-            feat, dtype=self.dtype, param_dtype=self.param_dtype, name=name
-        )
+        if self.int8_mlp:
+            dense = lambda feat, name: Int8Dense(
+                feat, dtype=self.dtype, param_dtype=self.param_dtype, name=name
+            )
+        else:
+            dense = lambda feat, name: nn.Dense(
+                feat, dtype=self.dtype, param_dtype=self.param_dtype, name=name
+            )
         attn_dense = lambda name: LoRADense(
             self.width,
             use_bias=True,
@@ -265,10 +277,13 @@ class CLIPVisionTower(nn.Module):
             name="pre_norm",
         )(x)
 
+        from ..ops.qconv import use_int8_scorer
+
+        int8_mlp = cfg.int8_mlp or use_int8_scorer()
         for i in range(cfg.layers):
             x = CLIPEncoderLayer(
                 cfg.width, cfg.heads, cfg.act, cfg.dtype, cfg.param_dtype,
-                norm_eps=cfg.norm_eps, name=f"layer_{i}",
+                norm_eps=cfg.norm_eps, int8_mlp=int8_mlp, name=f"layer_{i}",
             )(x, causal=False)
 
         pooled = nn.LayerNorm(

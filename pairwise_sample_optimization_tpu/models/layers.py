@@ -54,6 +54,39 @@ def _gelu_approx(dtype) -> bool:
     return jnp.dtype(dtype) == jnp.bfloat16
 
 
+class Int8Dense(nn.Module):
+    """Dense with dynamic-int8 matmul (``ops.qconv.int8_matmul``) and the
+    EXACT parameter tree of ``nn.Dense`` ("kernel", "bias") — the same
+    variables dict serves both, so an int8 tower can be A/B'd against the
+    bf16 tower without re-porting weights (scorer-tower qualification,
+    VERDICT r4 #7). Per-token activation scales, per-column weight
+    scales, int32 accumulation on the MXU."""
+
+    features: int
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.bfloat16
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from ..ops.qconv import int8_matmul
+
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (x.shape[-1], self.features),
+            self.param_dtype,
+        )
+        bias = (
+            self.param(
+                "bias", nn.initializers.zeros, (self.features,), self.param_dtype
+            )
+            if self.use_bias
+            else None
+        )
+        return int8_matmul(x.astype(self.dtype), kernel, bias).astype(self.dtype)
+
+
 class LoRADense(nn.Module):
     """Dense layer with an optional low-rank adapter in the 'lora' collection.
 

@@ -51,6 +51,22 @@ def use_int8_decode() -> bool:
     return _USE_INT8_DECODE
 
 
+_USE_INT8_SCORER = False
+
+
+def set_use_int8_scorer(flag: bool) -> None:
+    """Trace-time global: dynamic-int8 MLP matmuls in CLIP VISION towers
+    (the scorer image tower — ~7-9% of the headline iteration). Text
+    towers and the SDXL TEs are untouched. Qualification:
+    scripts/qualify_int8_scorer.py; A/B: PSO_INT8_SCORER=1 bench.py."""
+    global _USE_INT8_SCORER
+    _USE_INT8_SCORER = flag
+
+
+def use_int8_scorer() -> bool:
+    return _USE_INT8_SCORER
+
+
 def set_int8_smooth_alpha(alpha: float | None) -> None:
     """Migration strength for the dispatched int8 path (None = off)."""
     global _SMOOTH_ALPHA

@@ -7,6 +7,16 @@ samplers carry the step index alongside the raw timestep, so every lookup
 is a batched ``take`` on a precomputed table — no data-dependent control
 flow inside the compiled program.
 
+All builders return HOST numpy arrays, never device arrays: closed over
+by a jitted program, numpy constants embed from host memory at lowering,
+whereas device-array constants force a device->host readback inside
+``jax.jit(...).lower()`` — the exact call that died with
+RESOURCE_EXHAUSTED when the chip was in its post-run drain state
+(BENCH_r04). Entry points must be able to trace and lower without
+touching the chip. ``jnp`` consumers (``jnp.take``, ``lax.scan`` xs,
+arithmetic) accept numpy operands directly; only tracer *indexing* needs
+an explicit ``jnp.asarray`` at the call site (see ``train/sampling.py``).
+
 Schedule math matches the standard DDPM/karras conventions used by the
 reference's diffusers schedulers (scaled-linear betas, trailing spacing):
 - SDXL-Turbo: EulerAncestralDiscrete, beta in [0.00085, 0.012], 1000 train
@@ -46,10 +56,10 @@ def _betas(cfg: NoiseScheduleConfig) -> np.ndarray:
     raise ValueError(f"unknown beta_schedule: {cfg.beta_schedule}")
 
 
-def make_alphas_cumprod(cfg: NoiseScheduleConfig = NoiseScheduleConfig()) -> jnp.ndarray:
-    """(T,) cumulative alpha-bar table in float32."""
+def make_alphas_cumprod(cfg: NoiseScheduleConfig = NoiseScheduleConfig()) -> np.ndarray:
+    """(T,) cumulative alpha-bar table in float32 (host numpy)."""
     betas = _betas(cfg)
-    return jnp.asarray(np.cumprod(1.0 - betas), dtype=jnp.float32)
+    return np.cumprod(1.0 - betas).astype(np.float32)
 
 
 def make_karras_sigmas(
@@ -57,7 +67,7 @@ def make_karras_sigmas(
     sigma_min: float = 0.002,
     sigma_max: float = 80.0,
     rho: float = 7.0,
-) -> jnp.ndarray:
+) -> np.ndarray:
     """(T,) Karras et al. (2022) sigma ramp, ascending with index.
 
     Matches diffusers ``EDMEulerScheduler``'s training table (its
@@ -69,7 +79,7 @@ def make_karras_sigmas(
     min_inv_rho = sigma_min ** (1.0 / rho)
     max_inv_rho = sigma_max ** (1.0 / rho)
     sigmas = (min_inv_rho + ramp * (max_inv_rho - min_inv_rho)) ** rho
-    return jnp.asarray(sigmas, jnp.float32)
+    return sigmas.astype(np.float32)
 
 
 def distill_timesteps(num_steps: int, num_train_timesteps: int = 1000) -> np.ndarray:
@@ -90,11 +100,11 @@ class EulerAncestralSchedule(NamedTuple):
     (reference ``turbo_inference_with_logprob.py:77-80``).
     """
 
-    timesteps: jnp.ndarray  # (S,) int32, descending
-    sigmas: jnp.ndarray  # (S+1,) float32
-    sigma_up: jnp.ndarray  # (S,) float32; 0 at the last (deterministic) step
-    sigma_down: jnp.ndarray  # (S,) float32
-    init_noise_sigma: jnp.ndarray  # scalar float32
+    timesteps: np.ndarray  # (S,) int32, descending (host numpy)
+    sigmas: np.ndarray  # (S+1,) float32
+    sigma_up: np.ndarray  # (S,) float32; 0 at the last (deterministic) step
+    sigma_down: np.ndarray  # (S,) float32
+    init_noise_sigma: np.ndarray  # scalar float32
 
     @property
     def num_steps(self) -> int:
@@ -135,9 +145,9 @@ def make_euler_ancestral_schedule(
     else:
         init_noise_sigma = np.sqrt(sigmas.max() ** 2 + 1)
 
-    f32 = lambda a: jnp.asarray(a, dtype=jnp.float32)
+    f32 = lambda a: np.asarray(a, dtype=np.float32)
     return EulerAncestralSchedule(
-        timesteps=jnp.asarray(timesteps, dtype=jnp.int32),
+        timesteps=np.asarray(timesteps, dtype=np.int32),
         sigmas=f32(sigmas),
         sigma_up=f32(sigma_up),
         sigma_down=f32(sigma_down),

@@ -119,8 +119,13 @@ class SDXLPipeline:
                 return module.init
 
             def zeros_init(rng, *args, **kwargs):
+                from .utils.init import zeros_from_shapes
+
+                # one jitted program for the whole tree: per-leaf jnp.zeros
+                # would be ~2000 separate dispatches, each paying the axon
+                # tunnel RTT (~25 ms) — measured 200s of the bench startup
                 shapes = jax.eval_shape(lambda: module.init(rng, *args, **kwargs))
-                return jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+                return zeros_from_shapes(shapes)
 
             return zeros_init
         if tiny:

@@ -65,9 +65,9 @@ class AestheticScorer:
         if vision_variables is None:
             init = lambda: self.vision.init(key, jnp.zeros((1, size, size, 3)))
             if fast_init:
-                vision_variables = jax.tree.map(
-                    lambda s: jnp.zeros(s.shape, s.dtype), jax.eval_shape(init)
-                )
+                from ..utils.init import zeros_from_shapes
+
+                vision_variables = zeros_from_shapes(jax.eval_shape(init))
             else:
                 vision_variables = init()
         if mlp_variables is not None and use_packaged_mlp:

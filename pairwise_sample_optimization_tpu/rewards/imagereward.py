@@ -61,8 +61,10 @@ class ImageRewardScorer:
 
         def init(module, *args):
             if fast_init:
+                from ..utils.init import zeros_from_shapes
+
                 shapes = jax.eval_shape(lambda: module.init(key, *args))
-                return jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+                return zeros_from_shapes(shapes)
             return module.init(key, *args)
 
         if vit_variables is None:

@@ -56,9 +56,9 @@ class PickScoreScorer:
                 jnp.zeros((1, 2), jnp.int32),
             )
             if fast_init:  # zeros from eval_shape: benches/compile checks
-                variables = jax.tree.map(
-                    lambda s: jnp.zeros(s.shape, s.dtype), jax.eval_shape(init)
-                )
+                from ..utils.init import zeros_from_shapes
+
+                variables = zeros_from_shapes(jax.eval_shape(init))
             else:
                 variables = init()
         self.variables = variables

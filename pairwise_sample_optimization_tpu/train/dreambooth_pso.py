@@ -53,6 +53,7 @@ from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops.schedules import (
     NoiseScheduleConfig,
@@ -87,10 +88,10 @@ class DreamBoothPSOConfig:
     fuse_ref_pass: bool = True
 
 
-def make_sigma_table(cfg: NoiseScheduleConfig = NoiseScheduleConfig()) -> jnp.ndarray:
-    """(T,) full VE sigma table: sigma_t = sqrt((1-abar)/abar)."""
+def make_sigma_table(cfg: NoiseScheduleConfig = NoiseScheduleConfig()) -> np.ndarray:
+    """(T,) full VE sigma table: sigma_t = sqrt((1-abar)/abar) (host numpy)."""
     ac = make_alphas_cumprod(cfg)
-    return jnp.sqrt((1.0 - ac) / ac)
+    return np.sqrt((1.0 - ac) / ac).astype(np.float32)
 
 
 def sample_lattice_timesteps(

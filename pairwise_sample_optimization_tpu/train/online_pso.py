@@ -148,7 +148,9 @@ class OnlinePSOTrainer:
             self.alphas_cumprod = None
         elif config.sampler == "dmd":
             self.schedule = None
-            self.timestep_table = jnp.asarray(distill_timesteps(config.num_steps))
+            # host numpy (like the turbo schedule tables): baked as jit
+            # constants without a device readback at lowering
+            self.timestep_table = distill_timesteps(config.num_steps)
             self.alphas_cumprod = make_alphas_cumprod()
             self.step_ratio = 1000 // config.num_steps
         else:

@@ -60,12 +60,16 @@ def sample_turbo_trajectories(
     batch = init_latents.shape[0]
     x0 = init_latents.astype(jnp.float32) * schedule.init_noise_sigma
     step_keys = jax.random.split(key, num_steps)
+    # schedule tables are host numpy (ops/schedules.py) — numpy can't be
+    # indexed by the traced scan counter, so convert once here (a free
+    # constant under jit; never a device readback at lowering)
+    timestep_table = jnp.asarray(schedule.timesteps)
 
     def body(x, scan_in):
         idx, k = scan_in
         idxs = jnp.full((batch,), idx, jnp.int32)
         x_in = scale_model_input(schedule, x, idxs)
-        t = jnp.full((batch,), schedule.timesteps[idx], jnp.int32)
+        t = jnp.full((batch,), timestep_table[idx], jnp.int32)
         eps = eps_fn(x_in, t)
         x_next, logprob = turbo_step_with_logprob(schedule, eps, idxs, x, k)
         return x_next, (x, x_in, logprob)
@@ -103,6 +107,7 @@ def sample_dmd_trajectories(
     batch = init_latents.shape[0]
     x0 = init_latents.astype(jnp.float32)
     step_keys = jax.random.split(key, num_steps - 1)
+    timesteps = jnp.asarray(timesteps)  # host-numpy lattice -> traceable index
 
     def body(x, scan_in):
         i, k, nz = scan_in
@@ -159,6 +164,7 @@ def sample_ddim_cfg_trajectories(
     batch = init_latents.shape[0]
     x0 = init_latents.astype(jnp.float32)
     step_keys = jax.random.split(key, num_steps)
+    timesteps = jnp.asarray(timesteps)  # host-numpy lattice -> traceable index
     # prev timestep for the final step goes negative -> final_alpha_cumprod
     prev_ts = jnp.concatenate([timesteps[1:], jnp.asarray([-1], timesteps.dtype)])
 

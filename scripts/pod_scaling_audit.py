@@ -97,6 +97,33 @@ def collective_bytes(hlo_text: str) -> dict:
     return out
 
 
+def _selftest_collective_parser() -> None:
+    """Golden on a synthetic dump: the audit's ~8x-DP-scaling evidence is
+    regex-parsed HLO text, which silently undercounts if the dump format
+    shifts — pin the parser's behavior so drift is loud (VERDICT r4)."""
+    hlo = (
+        "ENTRY %main (p0: f32[8]) -> f32[8] {\n"
+        "  %ar = f32[1024]{0} all-reduce(f32[1024]{0} %x), replica_groups={}\n"
+        "  %ags = (bf16[2,128]{1,0}, bf16[16,128]{1,0}) "
+        "all-gather-start(bf16[2,128]{1,0} %y), dimensions={0}\n"
+        "  %agd = bf16[16,128]{1,0} all-gather-done((bf16[2,128], "
+        "bf16[16,128]) %ags)\n"
+        "  %rs = f32[64]{0} reduce-scatter(f32[512]{0} %w), dimensions={0}\n"
+        "}\n"
+        "%loop_body (p: s32[]) -> s32[] {\n"
+        "  %cp = f32[16]{0} collective-permute(f32[16]{0} %z)\n"
+        "}\n"
+    )
+    got = collective_bytes(hlo)
+    want = {
+        "all-reduce": 4096,
+        "all-gather": 4608,  # -start tuple counts in+out; -done not recounted
+        "reduce-scatter": 256,
+        "collective-permute (in loop body)": 64,
+    }
+    assert got == want, f"collective_bytes parser drifted: {got} != {want}"
+
+
 def build_compiled(n_devices: int, full: bool, mode: str = "dp"):
     """Lower + GSPMD-compile the real update program for one placement mode.
 
@@ -295,13 +322,31 @@ def main():
         help="comma list of placement modes to audit at --devices: dp,fsdp,tp",
     )
     args = ap.parse_args()
+    # validate up front: an unknown mode would silently fall through to
+    # the dp branch in build_compiled yet print under the typed label —
+    # mislabeled audit evidence (ADVICE r4)
+    modes = [m.strip() for m in args.modes.split(",") if m.strip()]
+    unknown = sorted(set(modes) - {"dp", "fsdp", "tp"})
+    if unknown:
+        ap.error(f"unknown --modes entries {unknown}; valid: dp,fsdp,tp")
+    _selftest_collective_parser()
     _force_cpu(args.devices)
 
     f1, _, lora_bytes, w1 = audit_one(1, args.full, "dp")
     print()
-    for mode in args.modes.split(","):
+    for mode in modes:
         fn, colln, _, wn = audit_one(args.devices, args.full, mode)
         total_coll = sum(colln.values())
+        # runtime drift guard: with >1 device the dp grad allreduce can't
+        # be smaller than ~the LoRA grad tree — near-zero collective bytes
+        # means the regex no longer matches this XLA's dump format
+        if args.devices > 1 and mode == "dp" and total_coll < 0.1 * lora_bytes:
+            raise SystemExit(
+                f"collective accounting drift: dp@{args.devices} found only "
+                f"{total_coll} collective bytes vs {lora_bytes} LoRA-tree "
+                f"bytes — HLO dump format probably changed (update "
+                f"collective_bytes + _selftest_collective_parser)"
+            )
         print(
             f"  -> FLOP ratio vs 1 dev: {fn / f1:.4f} (ideal {1/args.devices:.4f}); "
             f"static collective bytes {total_coll / 1e6:.3f} MB; "

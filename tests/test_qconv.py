@@ -272,3 +272,73 @@ def test_int8_ref_pass_trainer_end_to_end():
         for a, v in zip(jax.tree.leaves(before), jax.tree.leaves(state.lora))
     ]
     assert max(moved) > 0
+
+
+class TestInt8ScorerTower:
+    """Dynamic-int8 CLIP vision MLP (VERDICT r4 #7): the int8 tower must
+    share the bf16 tower's parameter tree bit-for-bit and keep the
+    pairwise ranking it feeds stable."""
+
+    def _scorers(self):
+        import dataclasses
+
+        from pairwise_sample_optimization_tpu.models.clip import (
+            CLIPTextConfig,
+            CLIPVisionConfig,
+        )
+        from pairwise_sample_optimization_tpu.rewards import PickScoreScorer
+
+        base = PickScoreScorer(
+            text_config=CLIPTextConfig.tiny(),
+            vision_config=CLIPVisionConfig.tiny(),
+            key=jax.random.key(3),
+        )
+        q = PickScoreScorer(
+            variables=base.variables,  # SAME weights — tree-compatible
+            text_config=CLIPTextConfig.tiny(),
+            vision_config=dataclasses.replace(
+                CLIPVisionConfig.tiny(), int8_mlp=True
+            ),
+        )
+        return base, q
+
+    def test_param_tree_compatible_and_scores_close(self):
+        base, q = self._scorers()
+        imgs = jax.random.uniform(jax.random.key(1), (4, 28, 28, 3)) * 2 - 1
+        f_base = np.asarray(base._image_features_v(base.variables, imgs))
+        f_q = np.asarray(q._image_features_v(q.variables, imgs))
+        assert np.isfinite(f_q).all()
+        # normalized features: int8 MLP error stays small at fp32 params
+        assert np.abs(f_base - f_q).max() < 0.15, np.abs(f_base - f_q).max()
+        cos = np.sum(f_base * f_q, axis=-1)  # both L2-normalized
+        assert (cos > 0.98).all(), cos
+
+    def test_global_override_routes_vision_only(self):
+        from pairwise_sample_optimization_tpu.models.clip import (
+            CLIPTextConfig,
+            CLIPVisionConfig,
+        )
+        from pairwise_sample_optimization_tpu.rewards import PickScoreScorer
+
+        base = PickScoreScorer(
+            text_config=CLIPTextConfig.tiny(),
+            vision_config=CLIPVisionConfig.tiny(),
+            key=jax.random.key(3),
+        )
+        imgs = jax.random.uniform(jax.random.key(1), (2, 28, 28, 3)) * 2 - 1
+        ids = jnp.ones((2, 5), jnp.int32)
+        f0 = np.asarray(base._image_features_v(base.variables, imgs))
+        t0 = np.asarray(base._text_features_v(base.variables, ids))
+        qconv.set_use_int8_scorer(True)
+        try:
+            q = PickScoreScorer(
+                variables=base.variables,
+                text_config=CLIPTextConfig.tiny(),
+                vision_config=CLIPVisionConfig.tiny(),
+            )
+            f1 = np.asarray(q._image_features_v(q.variables, imgs))
+            t1 = np.asarray(q._text_features_v(q.variables, ids))
+        finally:
+            qconv.set_use_int8_scorer(False)
+        assert np.abs(f1 - f0).max() > 0  # vision path changed
+        np.testing.assert_array_equal(t1, t0)  # text path untouched
