@@ -27,7 +27,11 @@ run() {  # run <logname> <cmd...>
   local log="/tmp/ab_r5/$1.log"; shift
   probe || { echo "[queue] giving up waiting for chip"; exit 1; }
   echo "[queue] $(date +%H:%M:%S) start: $* -> $log"
-  "$@" > "$log" 2>&1
+  # outer watchdog: a post-drain backend init can HANG in-process (no
+  # exception, so in-script retries never fire — observed r5: 14+ min
+  # stuck before the RTT stamp). timeout turns the hang into rc=124;
+  # the next probe() then serializes behind the recovered chip.
+  timeout 5400 "$@" > "$log" 2>&1
   local rc=$?  # capture BEFORE the $(date)/$(tail) substitutions reset $?
   echo "[queue] $(date +%H:%M:%S) done rc=$rc : $(tail -c 400 "$log" | tr '\n' ' ')"
 }
@@ -63,5 +67,10 @@ run qual_int8_scorer_random python -u scripts/qualify_int8_scorer.py 64 random
 run qual_int8_scorer_adversarial python -u scripts/qualify_int8_scorer.py 64 het_ln_ortho
 run bench_int8_scorer env PSO_INT8_SCORER=1 python -u bench.py
 run bench_int8_both env PSO_INT8_SCORER=1 PSO_INT8_DECODE=1 python -u bench.py
+
+# ---- final: clean warm headline run (default knobs) — the second of
+# the two consecutive sub-5-min warm runs VERDICT r4 #2 asks for, and
+# leaves the persistent cache hot for the driver's end-of-round bench
+run bench_warm_final python -u bench.py
 
 echo "[queue] all done $(date +%H:%M:%S)"
