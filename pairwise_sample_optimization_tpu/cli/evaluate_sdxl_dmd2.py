@@ -101,6 +101,15 @@ def parse_args(argv=None):
     )
     p.add_argument("--wordpiece_vocab", default="", help="bert vocab.txt for ImageReward")
     p.add_argument(
+        "--score_chunk", type=int, default=0,
+        help="stage each scorer once per N prompts instead of once per "
+             "batch (0 = per batch): buffers the chunk's generated images "
+             "on device, so with --offload_scorers the per-scorer "
+             "host->device staging traffic is divided by N/batch_size. "
+             "Scores are bit-identical to the unchunked path (generation "
+             "order, keys and scorer math are unchanged).",
+    )
+    p.add_argument(
         "--vae_decode_chunk", type=int, default=-1,
         help="decode N images at a time (-1 = auto: 1 at >=1024^2)",
     )
@@ -362,57 +371,72 @@ def main(argv=None):
     timing = None
     if args.timing:
         timing = {
-            "batch_s": [],  # per batch: total wall
+            "batch_s": [],  # per scoring chunk: total wall
+            "chunk_prompts": [],  # per scoring chunk: generated prompts
             "gen_s": [],  # per batch: encode+generate (readback-synced)
-            "stage_s": {n: [] for n in scorers},  # per batch per scorer
+            "stage_s": {n: [] for n in scorers},  # per chunk per scorer
             "score_s": {n: [] for n in scorers},
         }
     root_key = jax.random.key(args.seed)
     bs = args.batch_size
-    for start in range(0, len(shard), bs):
-        batch_prompts = shard[start : start + bs]
-        if len(batch_prompts) < bs:
-            batch_prompts = batch_prompts + [batch_prompts[-1]] * (
-                bs - len(batch_prompts)
+    # --score_chunk: amortize scorer staging over ceil(chunk/bs) batches.
+    # chunk == bs (the default) is exactly the old per-batch behavior —
+    # one code path, and chunked scores are bit-identical either way
+    # (generation order, per-prompt keys and scorer math don't change;
+    # only when the scorer weights ride host->device does).
+    chunk = args.score_chunk if args.score_chunk > 0 else bs
+    if chunk % bs:
+        chunk += bs - (chunk % bs)
+    for cstart in range(0, len(shard), chunk):
+        n_chunk = min(chunk, len(shard) - cstart)
+        t_chunk = time.perf_counter()
+        buffered = []  # per batch: (images on device, retrieval ids, prompts)
+        for start in range(cstart, cstart + n_chunk, bs):
+            batch_prompts = shard[start : start + bs]
+            if len(batch_prompts) < bs:
+                batch_prompts = batch_prompts + [batch_prompts[-1]] * (
+                    bs - len(batch_prompts)
+                )
+            t_gen = time.perf_counter()
+            cond = encode(
+                pipe.te1_variables, pipe.te2_variables,
+                jnp.asarray(tok1(batch_prompts)), jnp.asarray(tok2(batch_prompts)),
             )
-        t_batch = time.perf_counter()
-        cond = encode(
-            pipe.te1_variables, pipe.te2_variables,
-            jnp.asarray(tok1(batch_prompts)), jnp.asarray(tok2(batch_prompts)),
-        )
-        global_idx = jnp.asarray(
-            [rank + n_proc * (start + j) for j in range(bs)], jnp.int32
-        )
-        keys = jax.vmap(lambda i: jax.random.fold_in(root_key, i))(global_idx)
-        images = generate(pipe.unet_variables, pipe.vae_variables, cond, keys)
-        if timing is not None:
-            np.asarray(images.ravel()[:1])  # sync: charge gen to gen
-            timing["gen_s"].append(time.perf_counter() - t_batch)
-        r_ids = jnp.asarray(tok_r(batch_prompts))
+            global_idx = jnp.asarray(
+                [rank + n_proc * (start + j) for j in range(bs)], jnp.int32
+            )
+            keys = jax.vmap(lambda i: jax.random.fold_in(root_key, i))(global_idx)
+            images = generate(pipe.unet_variables, pipe.vae_variables, cond, keys)
+            if timing is not None:
+                np.asarray(images.ravel()[:1])  # sync: charge gen to gen
+                timing["gen_s"].append(time.perf_counter() - t_gen)
+            buffered.append((images, jnp.asarray(tok_r(batch_prompts)), batch_prompts))
         for name, scorer in scorers.items():
             stage_times = timing["stage_s"][name] if timing is not None else None
             t_sc = time.perf_counter()
             with _staged(scorer, stage_times):
-                if name == "aesthetic":
-                    s = scorer.score(images)
-                elif name == "imagereward":
-                    wp_ids, wp_mask = ir_tok(batch_prompts)
-                    s = scorer.score(
-                        images, jnp.asarray(wp_ids), jnp.asarray(wp_mask)
-                    )
-                else:
-                    s = scorer.score(images, r_ids)
-                # readback inside the stage: the park must not race the
-                # scoring dispatch (axon: only value readback syncs)
-                results[name].append(np.asarray(s)[: len(batch_prompts)])
+                for images, r_ids, batch_prompts in buffered:
+                    if name == "aesthetic":
+                        s = scorer.score(images)
+                    elif name == "imagereward":
+                        wp_ids, wp_mask = ir_tok(batch_prompts)
+                        s = scorer.score(
+                            images, jnp.asarray(wp_ids), jnp.asarray(wp_mask)
+                        )
+                    else:
+                        s = scorer.score(images, r_ids)
+                    # readback inside the stage: the park must not race the
+                    # scoring dispatch (axon: only value readback syncs)
+                    results[name].append(np.asarray(s)[: len(batch_prompts)])
             if timing is not None:
                 dt = time.perf_counter() - t_sc
                 st = timing["stage_s"][name]
                 timing["score_s"][name].append(dt - (st[-1] if st else 0.0))
         if timing is not None:
-            timing["batch_s"].append(time.perf_counter() - t_batch)
-        done = min(start + bs, len(shard))
-        if done % (10 * bs) < bs:
+            timing["batch_s"].append(time.perf_counter() - t_chunk)
+            timing["chunk_prompts"].append(len(buffered) * bs)
+        done = min(cstart + n_chunk, len(shard))
+        if chunk > bs or done % (10 * bs) < bs:
             logger.info("[%d/%d] prompts evaluated", done, len(shard))
 
     # ---- cross-process gather -> restore round-robin order -> truncate ->
@@ -428,13 +452,17 @@ def main(argv=None):
 
     timing_summary = None
     if timing is not None and len(timing["batch_s"]) > 0:
-        # batch 0 carries every compile; steady state = the rest
+        # chunk 0 carries every compile; steady state = the rest
         steady = timing["batch_s"][1:] or timing["batch_s"]
+        steady_prompts = timing["chunk_prompts"][1:] or timing["chunk_prompts"]
         mean_batch = float(np.mean(steady))
         timing_summary = {
             "compile_batch_s": round(timing["batch_s"][0], 2),
             "steady_batch_s": round(mean_batch, 3),
-            "prompts_per_min": round(60.0 * bs / mean_batch, 2),
+            "score_chunk": chunk,
+            "prompts_per_min": round(
+                60.0 * float(np.sum(steady_prompts)) / float(np.sum(steady)), 2
+            ),
             "gen_s": round(float(np.mean(timing["gen_s"][1:] or timing["gen_s"])), 3),
             "stage_s": {
                 n: round(float(np.mean(v[1:] or v)), 3) if v else 0.0
